@@ -1,0 +1,6 @@
+"""BVH subsystem: host-side PLOC builder (C++ with NumPy fallback) + flattener.
+
+Replaces the reference's `obvhs` Rust crate (extract.rs:12,316-321).
+"""
+
+from .build import build_scene_bvh  # noqa: F401

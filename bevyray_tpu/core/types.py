@@ -1,0 +1,170 @@
+"""Device-side data model (pytrees) and static render configuration.
+
+The reference ships scene data to the GPU as three storage buffers — models,
+materials, BVH nodes (``src/raytracing/extract.rs:252-262``, consumed at
+``assets/shaders/raytrace.wgsl:56-87``). We keep the same three logical tables but as
+**SoA of flat arrays padded to lane multiples**, resident on device across frames
+(the reference re-uploads everything every frame, its acknowledged inefficiency —
+``README.md:17``; we deliberately fix that).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .vec import Vec3
+
+LANE = 128  # TPU lane width; all scene tables are padded to a multiple of this.
+
+
+class Spheres(NamedTuple):
+    """Analytic sphere table (reference ``Model``: extract.rs:213-218, wgsl:56-61)."""
+
+    cx: jnp.ndarray          # [S] f32 centers
+    cy: jnp.ndarray
+    cz: jnp.ndarray
+    radius: jnp.ndarray      # [S] f32
+    material_id: jnp.ndarray  # [S] i32
+    valid: jnp.ndarray       # [S] bool — False for padding lanes
+
+    @property
+    def capacity(self) -> int:
+        return self.cx.shape[0]
+
+    def center(self) -> Vec3:
+        return Vec3(self.cx, self.cy, self.cz)
+
+
+class Materials(NamedTuple):
+    """Material table (reference ``RaytraceMaterial``: extract.rs:181-189, wgsl:63-77).
+
+    ``base_*`` is linear-space color; ``roughness`` is Bevy's perceptual_roughness
+    passed through unconverted (extract.rs:203). ``reflectance`` is carried but unused
+    by the shading model, same as the reference (wgsl:72).
+    """
+
+    base_r: jnp.ndarray
+    base_g: jnp.ndarray
+    base_b: jnp.ndarray
+    metallic: jnp.ndarray
+    roughness: jnp.ndarray
+    reflectance: jnp.ndarray
+    ior: jnp.ndarray
+    specular_transmission: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.base_r.shape[0]
+
+    def base_color(self) -> Vec3:
+        return Vec3(self.base_r, self.base_g, self.base_b)
+
+
+class BvhNodes(NamedTuple):
+    """Flattened BVH2 (reference ``BVHNode``: extract.rs:229-237, wgsl:79-87).
+
+    ``index`` is the first model index when ``count > 0`` (leaf), else the first of
+    two adjacent children. ``n_nodes`` is the live prefix length (arrays are padded).
+    """
+
+    min_x: jnp.ndarray
+    min_y: jnp.ndarray
+    min_z: jnp.ndarray
+    max_x: jnp.ndarray
+    max_y: jnp.ndarray
+    max_z: jnp.ndarray
+    index: jnp.ndarray   # i32
+    count: jnp.ndarray   # i32
+    n_nodes: jnp.ndarray  # i32 scalar
+
+
+class SceneBuffers(NamedTuple):
+    spheres: Spheres
+    materials: Materials
+    bvh: Optional[BvhNodes]
+
+
+class CameraState(NamedTuple):
+    """Per-frame dynamic camera uniforms (reference ``CameraExtract``:
+    extract.rs:83-97, wgsl:35-47). All entries are f32 scalars / scalar Vec3s so the
+    jitted frame step never retraces on camera motion."""
+
+    position: Vec3
+    direction: Vec3   # unit forward
+    up: Vec3          # unit up
+    fov: jnp.ndarray      # vertical fov, radians (Bevy default π/4)
+    near: jnp.ndarray
+    far: jnp.ndarray
+    aspect: jnp.ndarray   # width / height
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) render settings.
+
+    Mirrors ``RaytracedCamera { level, sample_count, bounces }`` (mod.rs:86-91) plus
+    the framebuffer size. These values shape the compiled program (loop trip counts,
+    branch structure), hence static.
+    """
+
+    width: int
+    height: int
+    samples_per_pixel: int = 4   # main.rs:68
+    bounces: int = 4             # main.rs:69
+    level: int = 2               # Raytracing::FallbackRaytraced (main.rs:67)
+    sphere_chunk: int = 512      # spheres processed per inner block in the brute path
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+
+def pad_to(n: int, multiple: int = LANE) -> int:
+    return int(-(-n // multiple) * multiple)
+
+
+def make_spheres_np(centers: np.ndarray, radii: np.ndarray, material_ids: np.ndarray,
+                    capacity: Optional[int] = None) -> Spheres:
+    """Build a padded device sphere table from host arrays.
+
+    Padding lanes get ``valid=False`` and are parked far away with zero radius so any
+    arithmetic on them stays finite.
+    """
+    n = centers.shape[0]
+    cap = capacity or pad_to(max(n, 1))
+    if cap < n:
+        raise ValueError(f"capacity {cap} < sphere count {n}")
+
+    def pad_f(a, fill):
+        out = np.full((cap,), fill, np.float32)
+        out[:n] = a.astype(np.float32)
+        return jnp.asarray(out)
+
+    def pad_i(a, fill):
+        out = np.full((cap,), fill, np.int32)
+        out[:n] = a.astype(np.int32)
+        return jnp.asarray(out)
+
+    valid = np.zeros((cap,), bool)
+    valid[:n] = True
+    return Spheres(
+        cx=pad_f(centers[:, 0], 1e6), cy=pad_f(centers[:, 1], 1e6), cz=pad_f(centers[:, 2], 1e6),
+        radius=pad_f(radii, 0.0),
+        material_id=pad_i(material_ids, 0),
+        valid=jnp.asarray(valid),
+    )
+
+
+def make_materials_np(table: np.ndarray, capacity: Optional[int] = None) -> Materials:
+    """``table``: [M, 8] float32 columns (base_r,g,b, metallic, roughness,
+    reflectance, ior, specular_transmission)."""
+    m = table.shape[0]
+    cap = capacity or pad_to(max(m, 1))
+    out = np.zeros((cap, 8), np.float32)
+    out[:m] = table.astype(np.float32)
+    cols = [jnp.asarray(out[:, i]) for i in range(8)]
+    return Materials(*cols)

@@ -1,0 +1,202 @@
+"""The wavefront frame step — TPU-native twin of the reference's per-pixel megakernel.
+
+Reference control flow (raytrace.wgsl:93-224): one fragment thread per pixel runs a
+sample loop, each sample runs a bounce loop with per-thread ``break``s. Here the whole
+frame is a flat SoA wavefront; the bounce loop is a ``lax.while_loop`` with an active
+mask (dead lanes are masked, and the loop exits early once every lane has terminated
+— the batched analog of the per-thread break). Everything jits into one XLA program;
+scene buffers stay resident on device across frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from ..core.constants import INF
+from ..core.types import CameraState, RenderConfig, SceneBuffers
+from ..core.vec import Vec3
+from ..kernels.composite import background_gradient, composite, linear_to_gamma
+from ..kernels.intersect import gather_materials, intersect_spheres, make_hit_info
+from ..kernels.raygen import generate_rays, pixel_uv
+from ..kernels.shade import scatter
+from . import slots
+
+
+class FrameResult(NamedTuple):
+    image: jnp.ndarray      # [H, W, 3] f32 — final composited, gamma-space
+    rt_depth: jnp.ndarray   # [H, W] f32 — sample-averaged first-hit distance
+
+
+def _draw_ball(stream, base, first_slot):
+    us = [rng.draw(stream, base + np.uint32(first_slot + k)) for k in range(5)]
+    return rng.unit_ball_from_uniforms(*us)
+
+
+def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
+                 pixel_ids: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                 sample_index, frame_seed):
+    """Trace one sample per pixel. Returns (color: Vec3 gamma-space, depth: [N]).
+
+    Twin of one iteration of ``trace_multisampled`` + ``raytrace``
+    (raytrace.wgsl:159-224).
+    """
+    stream = rng.stream_init(pixel_ids, sample_index, frame_seed)
+    ju = rng.draw(stream, np.uint32(slots.JITTER_U))
+    jv = rng.draw(stream, np.uint32(slots.JITTER_V))
+    origin, direction = generate_rays(u, v, ju, jv, cam, config.height)
+
+    n = pixel_ids.shape[0]
+    f32 = jnp.float32
+
+    # Mode-dependent miss depth (wgsl:177-182).
+    fallback_far = cam.far + 10.0 if config.level == 1 else cam.far - 1.0
+
+    class Carry(NamedTuple):
+        bounce: jnp.ndarray
+        origin: Vec3
+        direction: Vec3
+        ray_color: Vec3
+        light: Vec3
+        active: jnp.ndarray
+        first_depth: jnp.ndarray
+
+    init = Carry(
+        bounce=jnp.int32(0),
+        origin=origin,
+        direction=direction,
+        ray_color=Vec3.full((n,), 1.0, 1.0, 1.0),
+        light=Vec3.full((n,), 0.0, 0.0, 0.0),
+        active=jnp.ones((n,), bool),
+        first_depth=jnp.full((n,), INF, f32),
+    )
+
+    def cond(c: Carry):
+        # wgsl:189 loop bound `bounce <= bounce_count`, plus batched early-exit once
+        # every lane has broken (miss or absorb).
+        return (c.bounce <= config.bounces) & jnp.any(c.active)
+
+    def body(c: Carry) -> Carry:
+        t, idx = intersect_spheres(c.origin, c.direction, scene.spheres,
+                                   config.sphere_chunk)
+        hit = make_hit_info(c.origin, c.direction, t, idx, scene.spheres)
+
+        # First-hit depth for compositing (wgsl:193-195).
+        first_depth = jnp.where(c.bounce == 0, t, c.first_depth)
+
+        # Miss → pick up the sky and terminate (wgsl:198-201).
+        light = Vec3.where(c.active & hit.miss,
+                           background_gradient(c.direction), c.light)
+        active_hit = c.active & ~hit.miss
+
+        # Scatter (wgsl:203-211).
+        mat = gather_materials(scene.materials, hit.material_id)
+        base = jnp.uint32(slots.RAYGEN_DRAWS) + (
+            c.bounce.astype(jnp.uint32) * np.uint32(slots.DRAWS_PER_BOUNCE))
+        u_metal = rng.draw(stream, base + np.uint32(slots.S_METAL))
+        u_trans = rng.draw(stream, base + np.uint32(slots.S_TRANS))
+        u_reflect = rng.draw(stream, base + np.uint32(slots.S_REFLECT))
+        ball1 = _draw_ball(stream, base, slots.S_BALL1)
+        ball2 = _draw_ball(stream, base, slots.S_BALL2)
+        sc = scatter(c.direction, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2)
+
+        cont = active_hit & ~sc.absorbed
+        ray_color = Vec3.where(cont, c.ray_color * sc.attenuation, c.ray_color)
+        new_origin = Vec3.where(active_hit, hit.position, c.origin)
+        new_direction = Vec3.where(active_hit, sc.direction, c.direction)
+
+        return Carry(bounce=c.bounce + 1, origin=new_origin, direction=new_direction,
+                     ray_color=ray_color, light=light, active=cont,
+                     first_depth=first_depth)
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Loop exhausted without reaching the sky → black (wgsl:215-217). Absorbed rays
+    # already carry light = 0.
+    color = Vec3.where(final.active, Vec3.splat(jnp.float32(0.0)),
+                       final.ray_color * final.light)
+    depth = jnp.where(final.first_depth >= INF, fallback_far, final.first_depth)
+    # Per-sample gamma, then averaging across samples — faithful to the reference,
+    # which averages post-gamma values (wgsl:165 sums raytrace() output, which is
+    # gamma-encoded at wgsl:223).
+    return linear_to_gamma(color), depth
+
+
+def render_impl(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
+                frame_seed, raster_color: Vec3, raster_depth) -> FrameResult:
+    h, w = config.height, config.width
+    n = h * w
+    u, v = pixel_uv(w, h)
+    pixel_ids = jnp.arange(n, dtype=jnp.uint32)
+
+    if config.level == 0:
+        img = Vec3(
+            jnp.broadcast_to(raster_color.x, (n,)),
+            jnp.broadcast_to(raster_color.y, (n,)),
+            jnp.broadcast_to(raster_color.z, (n,)),
+        )
+        return FrameResult(image=img.to_array().reshape(h, w, 3),
+                           rt_depth=jnp.zeros((h, w), jnp.float32))
+
+    def sample_body(i, acc):
+        color_sum, depth_sum = acc
+        color, depth = trace_sample(scene, cam, config, pixel_ids, u, v,
+                                    jnp.uint32(i), frame_seed)
+        return (color_sum + color, depth_sum + depth)
+
+    zero = (Vec3.full((n,), 0.0, 0.0, 0.0), jnp.zeros((n,), jnp.float32))
+    color_sum, depth_sum = jax.lax.fori_loop(0, config.samples_per_pixel,
+                                             sample_body, zero)
+    inv_spp = np.float32(1.0 / config.samples_per_pixel)
+    rt_color = color_sum.scale(inv_spp)       # wgsl:169
+    rt_depth = depth_sum * inv_spp            # wgsl:170
+
+    out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
+                    raster_color, raster_depth)
+    img = Vec3(jnp.broadcast_to(out.x, (n,)), jnp.broadcast_to(out.y, (n,)),
+               jnp.broadcast_to(out.z, (n,)))
+    return FrameResult(image=img.to_array().reshape(h, w, 3),
+                       rt_depth=rt_depth.reshape(h, w))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_render(config: RenderConfig):
+    return jax.jit(functools.partial(render_impl, config=config))
+
+
+class Renderer:
+    """Stateful front-end: owns a compiled frame step per static config.
+
+    Usage::
+
+        world = rtiow.final_scene()
+        r = Renderer(RenderConfig(width=1280, height=720, samples_per_pixel=16))
+        frame = r.render(world.extract(), world.camera_state(aspect=16/9), seed=1)
+    """
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        self._fn = _jitted_render(config)
+
+    def render(self, scene: SceneBuffers, cam: CameraState, seed: int,
+               raster_color: Optional[Vec3] = None,
+               raster_depth: Optional[jnp.ndarray] = None) -> FrameResult:
+        """Render one frame. ``seed`` plays the role of the reference's per-frame
+        ``thread_rng`` seed (extract.rs:72-73) but is explicit and reproducible.
+
+        ``raster_color``/``raster_depth`` supply the rasterized layer for the hybrid
+        modes; they default to the reference app's white clear color
+        (main.rs:60) and reverse-Z far-plane depth.
+        """
+        if raster_color is None:
+            raster_color = Vec3.splat(jnp.float32(1.0))
+        if raster_depth is None:
+            raster_depth = jnp.float32(0.0)
+        return self._fn(scene=scene, cam=cam,
+                        frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
+                        raster_color=raster_color, raster_depth=raster_depth)

@@ -1,0 +1,123 @@
+"""Public scene components — the framework's user-facing API surface.
+
+Mirrors the reference's entire public surface (SURVEY.md §1 L2):
+
+- ``Raytracing`` mode enum            (src/raytracing/mod.rs:94-101)
+- ``RaytracedCamera``                 (src/raytracing/mod.rs:86-91)
+- ``RaytracedSphere``                 (src/raytracing/mod.rs:103-106)
+- ``StandardMaterial``                (Bevy's, consumed at extract.rs:196-208)
+- ``Transform`` / ``look_at``         (Bevy's, consumed at extract.rs:118-157)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+class Raytracing(enum.IntEnum):
+    """Per-camera raytrace mode (mod.rs:94-101; consumed at raytrace.wgsl:97-122)."""
+
+    SKIP = 0                 # raster passthrough
+    FALLBACK_RASTER = 1      # depth blend; raster wins where rays miss
+    FALLBACK_RAYTRACED = 2   # depth blend; raytraced sky wins over raster background
+    PURE = 3                 # raytraced only
+
+
+@dataclasses.dataclass
+class RaytracedCamera:
+    """Per-camera raytrace config (mod.rs:86-91; defaults from main.rs:66-70)."""
+
+    level: Raytracing = Raytracing.FALLBACK_RAYTRACED
+    sample_count: int = 4
+    bounces: int = 4
+
+
+@dataclasses.dataclass
+class RaytracedSphere:
+    """Analytic sphere marker (mod.rs:103-106)."""
+
+    radius: float = 1.0
+
+
+def srgb_to_linear(c: float) -> float:
+    """sRGB EOTF, matching Bevy's ``Color::srgb(..).to_linear()`` (extract.rs:201)."""
+    if c <= 0.04045:
+        return c / 12.92
+    return ((c + 0.055) / 1.055) ** 2.4
+
+
+@dataclasses.dataclass
+class StandardMaterial:
+    """The 6 StandardMaterial-derived fields the renderer consumes (extract.rs:196-208).
+
+    ``base_color`` is in sRGB space (like Bevy's ``Color::srgb``); conversion to
+    linear happens at extraction, same as the reference. Defaults match Bevy's
+    ``StandardMaterial::default()`` — note perceptual_roughness defaults to 0.5,
+    which (faithfully to the reference) perturbs even pure-diffuse lobes
+    (raytrace.wgsl:285, SURVEY.md quirk #5).
+    """
+
+    base_color: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    perceptual_roughness: float = 0.5
+    reflectance: float = 0.5
+    ior: float = 1.5
+    specular_transmission: float = 0.0
+
+    def to_record(self) -> np.ndarray:
+        """8-column float32 record with linearized base color (extract.rs:200-207)."""
+        r, g, b = (srgb_to_linear(float(c)) for c in self.base_color)
+        return np.array(
+            [r, g, b, self.metallic, self.perceptual_roughness, self.reflectance,
+             self.ior, self.specular_transmission],
+            np.float32,
+        )
+
+
+@dataclasses.dataclass
+class Transform:
+    """Minimal transform: translation + orthonormal basis (forward/up).
+
+    The reference extracts exactly translation(), forward(), up() from Bevy's
+    GlobalTransform (extract.rs:130-132); spheres use translation only
+    (extract.rs:173-178).
+    """
+
+    translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    forward: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+
+    @staticmethod
+    def from_xyz(x: float, y: float, z: float) -> "Transform":
+        return Transform(translation=(x, y, z))
+
+    def looking_at(self, target, up=(0.0, 1.0, 0.0)) -> "Transform":
+        """Bevy ``Transform::looking_at`` semantics: forward towards target, up
+        re-orthogonalized against forward."""
+        eye = np.asarray(self.translation, np.float64)
+        fwd = np.asarray(target, np.float64) - eye
+        fwd /= np.linalg.norm(fwd)
+        upv = np.asarray(up, np.float64)
+        right = np.cross(fwd, upv)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        return Transform(
+            translation=tuple(float(v) for v in eye),
+            forward=tuple(float(v) for v in fwd),
+            up=tuple(float(v) for v in true_up),
+        )
+
+
+@dataclasses.dataclass
+class PerspectiveProjection:
+    """Bevy ``PerspectiveProjection`` defaults (consumed at extract.rs:120-146)."""
+
+    fov: float = math.pi / 4.0   # vertical FOV, radians
+    near: float = 0.1
+    far: float = 1000.0
+    aspect_ratio: float = 1.0

@@ -1,0 +1,150 @@
+"""ECS-lite world: entities, components, dirty-tracked extraction.
+
+The reference stores the scene in Bevy ECS and re-extracts + re-uploads every frame
+(extract.rs:280-337 — acknowledged as unoptimized, README.md:17). We keep the same
+logical pipeline (components → flat SoA tables) but cache the extraction keyed on a
+revision counter so an unchanged scene costs zero host work per frame.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import (CameraState, SceneBuffers, make_materials_np,
+                          make_spheres_np, pad_to)
+from ..core.vec import Vec3
+from .components import (PerspectiveProjection, RaytracedCamera, RaytracedSphere,
+                         StandardMaterial, Transform)
+
+
+class World:
+    """Holds sphere entities plus a single raytraced camera.
+
+    Multi-camera (multi-view) rendering is handled above this layer by calling the
+    renderer once per camera, mirroring Bevy's per-view ``ViewNodeRunner``
+    (mod.rs:53-60).
+    """
+
+    def __init__(self) -> None:
+        self._transforms: List[Transform] = []
+        self._spheres: List[RaytracedSphere] = []
+        self._materials: List[StandardMaterial] = []
+        self._alive: List[bool] = []
+        self.camera_transform: Transform = Transform.from_xyz(0.0, 0.0, 5.0).looking_at((0.0, 0.0, 0.0))
+        self.projection = PerspectiveProjection()
+        self.camera = RaytracedCamera()
+        self._revision = 0
+        self._extract_cache: Dict = {}
+
+    # -- mutation ---------------------------------------------------------------
+    def spawn_sphere(self, transform: Transform, sphere: RaytracedSphere,
+                     material: StandardMaterial) -> int:
+        eid = len(self._spheres)
+        self._transforms.append(transform)
+        self._spheres.append(sphere)
+        self._materials.append(material)
+        self._alive.append(True)
+        self._touch()
+        return eid
+
+    def despawn(self, eid: int) -> None:
+        self._alive[eid] = False
+        self._touch()
+
+    def set_translation(self, eid: int, xyz) -> None:
+        self._transforms[eid] = Transform(translation=tuple(float(v) for v in xyz),
+                                          forward=self._transforms[eid].forward,
+                                          up=self._transforms[eid].up)
+        self._touch()
+
+    def set_material(self, eid: int, material: StandardMaterial) -> None:
+        self._materials[eid] = material
+        self._touch()
+
+    def set_radius(self, eid: int, radius: float) -> None:
+        self._spheres[eid] = RaytracedSphere(radius=radius)
+        self._touch()
+
+    def set_camera(self, transform: Transform,
+                   projection: Optional[PerspectiveProjection] = None,
+                   camera: Optional[RaytracedCamera] = None) -> None:
+        self.camera_transform = transform
+        if projection is not None:
+            self.projection = projection
+        if camera is not None:
+            self.camera = camera
+        # Camera state is rebuilt per frame anyway (cheap scalars); no revision bump.
+
+    def _touch(self) -> None:
+        self._revision += 1
+
+    @property
+    def revision(self) -> int:
+        return self._revision
+
+    @property
+    def n_spheres(self) -> int:
+        return sum(self._alive)
+
+    # -- extraction --------------------------------------------------------------
+    def extract_host(self):
+        """Flatten live entities to host arrays: (centers [N,3], radii [N],
+        material table [N,8], material ids [N]).
+
+        Faithful to the reference's per-sphere material duplication: material_id is
+        the enumerate index, one material record per sphere even when shared
+        (extract.rs:301-310, SURVEY.md quirk #8).
+        """
+        centers, radii, mats = [], [], []
+        for t, s, m, alive in zip(self._transforms, self._spheres, self._materials, self._alive):
+            if not alive:
+                continue
+            centers.append(t.translation)
+            radii.append(s.radius)
+            mats.append(m.to_record())
+        n = len(radii)
+        centers = np.asarray(centers, np.float32).reshape(n, 3)
+        radii = np.asarray(radii, np.float32)
+        mat_table = np.stack(mats, 0) if n else np.zeros((0, 8), np.float32)
+        mat_ids = np.arange(n, dtype=np.int32)
+        return centers, radii, mat_table, mat_ids
+
+    def extract(self, capacity: Optional[int] = None, with_bvh: bool = True) -> SceneBuffers:
+        """Build (or fetch cached) device scene buffers."""
+        key = (self._revision, capacity, with_bvh)
+        cached = self._extract_cache.get("scene")
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        centers, radii, mat_table, mat_ids = self.extract_host()
+        cap = capacity or pad_to(max(len(radii), 1))
+        spheres = make_spheres_np(centers, radii, mat_ids, cap)
+        materials = make_materials_np(mat_table, cap)
+
+        bvh = None
+        if with_bvh and len(radii) > 0:
+            from ..bvh import build_scene_bvh  # lazy: avoids import cycle
+            bvh = build_scene_bvh(centers, radii)
+
+        scene = SceneBuffers(spheres=spheres, materials=materials, bvh=bvh)
+        self._extract_cache["scene"] = (key, scene)
+        return scene
+
+    def camera_state(self, aspect: Optional[float] = None) -> CameraState:
+        """Per-frame camera uniforms (extract.rs:118-157)."""
+        t = self.camera_transform
+        p = self.projection
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        return CameraState(
+            position=Vec3(*(f32(v) for v in t.translation)),
+            direction=Vec3(*(f32(v) for v in t.forward)),
+            up=Vec3(*(f32(v) for v in t.up)),
+            fov=f32(p.fov),
+            near=f32(p.near),
+            far=f32(p.far),
+            aspect=f32(aspect if aspect is not None else p.aspect_ratio),
+        )

@@ -1,0 +1,216 @@
+"""Scalar NumPy oracle — an independent implementation of the exact algorithm.
+
+This is the golden-image reference the JAX/Pallas renderers are diffed against
+(SURVEY.md §4). It deliberately uses the *reference's* control-flow shape — a serial
+per-ray bounce loop with real ``break``s (raytrace.wgsl:189-212) — rather than the
+renderer's masked wavefront, so a bug in the masking logic cannot hide in both.
+Formulas and quirks follow raytrace.wgsl exactly; RNG draws follow the shared slot
+contract in :mod:`bevyray_tpu.engine.slots`.
+
+Float32 discipline throughout; agreement with the JAX renderer is limited only by
+libm differences (~1e-5 per op), so image comparisons are tolerance-based.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import rng
+from ..core.constants import INF, NEAR_ZERO, T_MIN
+from ..engine import slots
+
+F = np.float32
+
+
+def _normalize(v):
+    return (v / np.sqrt((v * v).sum())).astype(F)
+
+
+def _reflect(v, n):
+    return (v - 2.0 * np.dot(v, n) * n).astype(F)
+
+
+def _refract(v, n, ri):
+    cos_theta = min(np.dot(-v, n), F(1.0))
+    r_out_perp = (ri * (v + cos_theta * n)).astype(F)
+    r_out_parallel = (-np.sqrt(abs(F(1.0) - (r_out_perp * r_out_perp).sum())) * n)
+    return (r_out_perp + r_out_parallel).astype(F)
+
+
+def _schlick(cosine, ri):
+    r0 = (1.0 - ri) / (1.0 + ri)
+    r0 = r0 * r0
+    return F(r0 + (1.0 - r0) * (1.0 - cosine) ** 5)
+
+
+def _draw(stream, slot):
+    with np.errstate(over="ignore"):
+        return rng.draw(np.uint32(stream), np.uint32(slot))
+
+
+def _ball(stream, base, first):
+    us = [_draw(stream, base + first + k) for k in range(5)]
+    return rng.unit_ball_from_uniforms_np(*[np.float32(u) for u in us])
+
+
+def _raycast(origin, direction, centers, radii):
+    """Nearest-hit over all spheres (raycast_against_range + hit_sphere,
+    wgsl:348-383). Vectorized over spheres only."""
+    oc = (centers - origin).astype(F)                     # wgsl:372
+    a = F(np.dot(direction, direction))
+    h = (oc @ direction).astype(F)                        # wgsl:374
+    c = ((oc * oc).sum(1) - radii * radii).astype(F)      # wgsl:375
+    disc = (h * h - a * c).astype(F)
+    ok = disc >= 0.0
+    t = np.where(ok, (h - np.sqrt(np.where(ok, disc, 0.0))) / a, F(-1.0)).astype(F)
+    ok = ok & (t > T_MIN)                                 # wgsl:353
+    t = np.where(ok, t, F(INF))
+    i = int(np.argmin(t))
+    return (F(t[i]), i) if t[i] < INF else (F(INF), -1)
+
+
+def render_oracle(centers, radii, materials, camera, width, height,
+                  samples_per_pixel, bounces, level, frame_seed,
+                  raster_color=(1.0, 1.0, 1.0), raster_depth=0.0):
+    """Render a full frame.
+
+    ``camera``: dict with position, direction, up (3-vectors), fov, near, far,
+    aspect. Returns (image [H,W,3] f32, rt_depth [H,W] f32).
+    """
+    centers = np.asarray(centers, F)
+    radii = np.asarray(radii, F)
+    materials = np.asarray(materials, F)
+    pos = np.asarray(camera["position"], F)
+    cam_dir = np.asarray(camera["direction"], F)
+    up = np.asarray(camera["up"], F)
+    fov, near, far = F(camera["fov"]), F(camera["near"]), F(camera["far"])
+    aspect = F(camera["aspect"])
+    raster_color = np.asarray(raster_color, F)
+
+    right = np.cross(cam_dir, up).astype(F)               # wgsl:149
+    scale = F(np.tan(fov * 0.5))
+
+    fallback_far = F(far + 10.0) if level == 1 else F(far - 1.0)  # wgsl:177-182
+
+    image = np.zeros((height, width, 3), F)
+    depth_img = np.zeros((height, width), F)
+
+    for py in range(height):
+        for px in range(width):
+            pixel_id = np.uint32(py * width + px)
+            u = F((px + 0.5) / width)
+            v = F((py + 0.5) / height)
+            color_sum = np.zeros(3, F)
+            depth_sum = F(0.0)
+            for s in range(samples_per_pixel):
+                with np.errstate(over="ignore"):
+                    stream = rng.stream_init(pixel_id, np.uint32(s),
+                                             np.uint32(frame_seed))
+                # --- ray gen (wgsl:139-156) --------------------------------
+                ju = _draw(stream, slots.JITTER_U)
+                jv = _draw(stream, slots.JITTER_V)
+                h_px = F(height)
+                w_px = F(h_px * aspect)
+                ndc_x = F((u * 2.0 - 1.0) + (ju - 0.5) / w_px)
+                ndc_y = F((1.0 - v * 2.0) + (jv - 0.5) / h_px)
+                d = _normalize(cam_dir + ndc_x * aspect * scale * right
+                               + ndc_y * scale * up)
+                o = pos.copy()
+
+                # --- bounce loop (wgsl:174-224) ------------------------------
+                first_depth = F(INF)
+                ray_color = np.ones(3, F)
+                light = np.zeros(3, F)
+                b = 0
+                while b <= bounces:
+                    t, idx = _raycast(o, d, centers, radii)
+                    if b == 0:
+                        first_depth = t
+                    if t >= INF:
+                        unit = _normalize(d)              # wgsl:364-369
+                        a01 = F(0.5 * (unit[1] + 1.0))
+                        light = ((1.0 - a01) * np.ones(3, F)
+                                 + a01 * np.array([0.5, 0.7, 1.0], F)).astype(F)
+                        break
+                    # hit info (wgsl:355-358)
+                    hit_pos = (o + t * d).astype(F)
+                    normal = _normalize(hit_pos - centers[idx])
+                    front_face = np.dot(d, normal) < 0.0
+                    m = materials[idx]
+                    base_color = m[0:3]
+                    metallic, roughness, ior, spec_trans = m[3], m[4], m[6], m[7]
+
+                    sbase = slots.bounce_base(b)
+                    u_metal = _draw(stream, sbase + slots.S_METAL)
+                    u_trans = _draw(stream, sbase + slots.S_TRANS)
+                    u_reflect = _draw(stream, sbase + slots.S_REFLECT)
+
+                    if u_metal < metallic:
+                        # metal (wgsl:234-245)
+                        ball1 = _ball(stream, sbase, slots.S_BALL1)
+                        new_d = (_normalize(_reflect(d, normal))
+                                 + roughness * ball1).astype(F)
+                        attenuation = base_color
+                        absorbed = np.dot(new_d, normal) < 0.0
+                    elif u_trans < spec_trans:
+                        # dielectric (wgsl:249-280)
+                        ri = F(1.0 / ior) if front_face else F(ior)
+                        unit = _normalize(d)
+                        cos_theta = min(np.dot(-unit, normal), F(1.0))
+                        sin_theta = np.sqrt(max(F(1.0) - cos_theta * cos_theta, F(0.0)))
+                        cannot = ri * sin_theta > 1.0
+                        if cannot or _schlick(cos_theta, ri) > u_reflect:
+                            new_d = _reflect(unit, normal)
+                        else:
+                            new_d = _refract(unit, normal, ri)
+                        attenuation = np.ones(3, F)
+                        absorbed = False
+                    else:
+                        # diffuse (wgsl:282-297)
+                        ball1 = _ball(stream, sbase, slots.S_BALL1)
+                        ball2 = _ball(stream, sbase, slots.S_BALL2)
+                        new_d = (normal + ball1 + roughness * ball2).astype(F)
+                        if (np.abs(new_d) < NEAR_ZERO).all():
+                            new_d = normal
+                        attenuation = base_color
+                        absorbed = np.dot(new_d, normal) < 0.0
+
+                    if absorbed:
+                        break
+                    ray_color = (ray_color * attenuation).astype(F)
+                    o, d = hit_pos, new_d
+                    b += 1
+
+                if b == bounces + 1:                      # exhausted (wgsl:215-217)
+                    ray_color = np.zeros(3, F)
+                if first_depth >= INF:
+                    first_depth = fallback_far
+
+                sample = np.sqrt(np.maximum(ray_color * light, 0.0)).astype(F)
+                color_sum += sample
+                depth_sum += first_depth
+
+            rt_color = color_sum / F(samples_per_pixel)
+            rt_depth = depth_sum / F(samples_per_pixel)
+            depth_img[py, px] = rt_depth
+
+            # composite (wgsl:97-122)
+            if level == 0:
+                out = raster_color
+            elif level == 3:
+                out = rt_color
+            else:
+                rz = F(-1.0) if rt_depth > far else F(near / rt_depth)
+                out = raster_color if raster_depth > rz else rt_color
+            image[py, px] = out
+
+    return image, depth_img
+
+
+def oracle_inputs_from_world(world):
+    """Convenience: host-side arrays + camera dict from a World."""
+    centers, radii, mat_table, _ = world.extract_host()
+    t, p = world.camera_transform, world.projection
+    camera = dict(position=t.translation, direction=t.forward, up=t.up,
+                  fov=p.fov, near=p.near, far=p.far, aspect=p.aspect_ratio)
+    return centers, radii, mat_table, camera

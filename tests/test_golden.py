@@ -1,0 +1,76 @@
+"""Golden-image tests: JAX wavefront renderer vs the independent NumPy oracle.
+
+Both implementations consume identical RNG draws (the slot contract), so they
+compute the same estimate; disagreement is limited to libm differences (~1e-5 per
+op), which can chaotically flip a hit/branch decision on a measure-zero set of rays.
+Comparisons therefore use robust metrics: mean error tight, plus a small allowance
+of outlier pixels.
+"""
+
+import numpy as np
+import pytest
+
+from bevyray_tpu import RenderConfig, Renderer, rtiow
+from bevyray_tpu.testing.oracle import oracle_inputs_from_world, render_oracle
+
+
+def _render_pair(world, width, height, spp, bounces, level, seed):
+    cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                       bounces=bounces, level=level)
+    r = Renderer(cfg)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=width / height)
+    frame = r.render(scene, cam, seed=seed)
+    got = np.asarray(frame.image)
+    got_depth = np.asarray(frame.rt_depth)
+
+    centers, radii, mats, camera = oracle_inputs_from_world(world)
+    camera["aspect"] = width / height
+    want, want_depth = render_oracle(centers, radii, mats, camera, width, height,
+                                     spp, bounces, level, seed)
+    return got, got_depth, want, want_depth
+
+
+def _assert_images_match(got, want, mean_tol=2e-3, outlier_tol=5e-3,
+                         max_outlier_frac=0.01):
+    err = np.abs(got - want)
+    assert err.mean() < mean_tol, f"mean err {err.mean()}"
+    frac = (err.max(axis=-1) > outlier_tol).mean()
+    assert frac < max_outlier_frac, f"outlier fraction {frac}"
+
+
+@pytest.mark.parametrize("level", [3, 2])
+def test_simple_scene_matches_oracle(level):
+    """BASELINE config 1 (shrunk): Lambertian spheres + ground."""
+    world = rtiow.simple_scene()
+    got, got_depth, want, want_depth = _render_pair(
+        world, 48, 48, spp=2, bounces=8, level=level, seed=7)
+    _assert_images_match(got, want)
+    # Depth: compare where both agree it's a hit (miss fallback is huge).
+    both_hit = (want_depth < 900) & (got_depth < 900)
+    assert both_hit.mean() > 0.5
+    np.testing.assert_allclose(got_depth[both_hit], want_depth[both_hit], atol=1e-2)
+
+
+def test_material_scene_matches_oracle():
+    """BASELINE config 2 (shrunk): metal fuzz + dielectric with Schlick."""
+    world = rtiow.material_test_scene()
+    got, _, want, _ = _render_pair(world, 48, 48, spp=2, bounces=8, level=3, seed=3)
+    _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
+
+
+def test_final_scene_small_matches_oracle():
+    """A shrunk RTiOW final scene (grid=2 → ~30 spheres), all material kinds."""
+    world = rtiow.final_scene(seed=5, grid=2)
+    got, _, want, _ = _render_pair(world, 40, 40, spp=2, bounces=4, level=3, seed=11)
+    _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
+
+
+def test_skip_level_passthrough():
+    """Level 0 returns the raster layer untouched (raytrace.wgsl:97-99)."""
+    world = rtiow.simple_scene()
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounces=1, level=0)
+    r = Renderer(cfg)
+    frame = r.render(world.extract(with_bvh=False),
+                     world.camera_state(aspect=1.0), seed=0)
+    np.testing.assert_allclose(np.asarray(frame.image), 1.0)
