@@ -1,0 +1,60 @@
+"""Headline benchmark: RTiOW final scene, 1080p, 16 spp, on one real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+Mrays/sec/chip (rays = actually-traced active path segments, counted on device) and
+vs_baseline is relative to the 1 Grays/sec north star from BASELINE.json.
+
+Extra context fields (p50 frame ms, config) ride along for the record.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import bevyray_tpu  # noqa: F401  (repo-root import)
+    from bevyray_tpu import RenderConfig, Renderer, rtiow
+
+    width, height, spp, bounces = 1920, 1080, 16, 4
+    world = rtiow.final_scene(seed=42)
+    config = RenderConfig(width=width, height=height, samples_per_pixel=spp,
+                          bounces=bounces, level=3)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=width / height)
+    renderer = Renderer(config)
+
+    # Warmup / compile.
+    frame = renderer.render(scene, cam, seed=0)
+    jax.block_until_ready(frame.image)
+    rays_per_frame = float(frame.rays_traced)
+
+    times = []
+    n_frames = 8
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        frame = renderer.render(scene, cam, seed=i + 1)
+        jax.block_until_ready(frame.image)
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.percentile(times, 50))
+    mrays = rays_per_frame / p50 / 1e6
+
+    print(json.dumps({
+        "metric": "Mrays/sec/chip (RTiOW final scene, 1080p, 16spp, 4 bounces)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 1000.0, 4),
+        "p50_frame_ms": round(p50 * 1e3, 2),
+        "rays_per_frame": int(rays_per_frame),
+        "device": str(jax.devices()[0]),
+        "n_spheres": world.n_spheres,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -117,6 +117,7 @@ class RenderConfig:
     bounces: int = 4             # main.rs:69
     level: int = 2               # Raytracing::FallbackRaytraced (main.rs:67)
     sphere_chunk: int = 512      # spheres processed per inner block in the brute path
+    intersect_backend: str = "auto"  # "auto" | "brute" | "bvh"
 
     @property
     def n_pixels(self) -> int:

@@ -31,6 +31,7 @@ from . import slots
 class FrameResult(NamedTuple):
     image: jnp.ndarray      # [H, W, 3] f32 — final composited, gamma-space
     rt_depth: jnp.ndarray   # [H, W] f32 — sample-averaged first-hit distance
+    rays_traced: jnp.ndarray   # active ray segments this frame (f32 scalar)
 
 
 def _draw_ball(stream, base, first_slot):
@@ -38,14 +39,42 @@ def _draw_ball(stream, base, first_slot):
     return rng.unit_ball_from_uniforms(*us)
 
 
+def make_intersect_fn(scene: SceneBuffers, config: RenderConfig):
+    """Pick the intersection backend (static decision, shapes are static).
+
+    - ``brute``: dense chunked all-pairs tests — the TPU fast path (pure VPU
+      elementwise work, zero gathers) for reference-scale scenes;
+    - ``bvh``: flattened-BVH stack traversal (kernels/traverse.py) — wins for large
+      scenes where O(n) loses to O(log n) despite the gathers.
+    """
+    backend = config.intersect_backend
+    if backend == "auto":
+        backend = "brute" if (scene.bvh is None
+                              or scene.spheres.capacity <= 4096) else "bvh"
+    if backend == "bvh":
+        if scene.bvh is None:
+            raise ValueError("bvh backend requested but scene has no BVH")
+        from ..kernels.traverse import intersect_bvh
+
+        return lambda o, d: intersect_bvh(o, d, scene.spheres, scene.bvh)
+    return lambda o, d: intersect_spheres(o, d, scene.spheres, config.sphere_chunk)
+
+
 def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
                  pixel_ids: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
-                 sample_index, frame_seed):
+                 sample_index, frame_seed, intersect_fn=None,
+                 fixed_trip_count: bool = False):
     """Trace one sample per pixel. Returns (color: Vec3 gamma-space, depth: [N]).
 
     Twin of one iteration of ``trace_multisampled`` + ``raytrace``
     (raytrace.wgsl:159-224).
+
+    ``fixed_trip_count``: disable the all-lanes-dead early exit. Required when
+    ``intersect_fn`` contains cross-device collectives (sphere-sharded mode), where
+    every peer must execute the same number of bounce iterations.
     """
+    if intersect_fn is None:
+        intersect_fn = make_intersect_fn(scene, config)
     stream = rng.stream_init(pixel_ids, sample_index, frame_seed)
     ju = rng.draw(stream, np.uint32(slots.JITTER_U))
     jv = rng.draw(stream, np.uint32(slots.JITTER_V))
@@ -65,6 +94,7 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         light: Vec3
         active: jnp.ndarray
         first_depth: jnp.ndarray
+        segments: jnp.ndarray   # running count of active ray segments traced
 
     init = Carry(
         bounce=jnp.int32(0),
@@ -74,16 +104,19 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         light=Vec3.full((n,), 0.0, 0.0, 0.0),
         active=jnp.ones((n,), bool),
         first_depth=jnp.full((n,), INF, f32),
+        segments=jnp.float32(0.0),
     )
 
     def cond(c: Carry):
         # wgsl:189 loop bound `bounce <= bounce_count`, plus batched early-exit once
         # every lane has broken (miss or absorb).
-        return (c.bounce <= config.bounces) & jnp.any(c.active)
+        in_range = c.bounce <= config.bounces
+        if fixed_trip_count:
+            return in_range
+        return in_range & jnp.any(c.active)
 
     def body(c: Carry) -> Carry:
-        t, idx = intersect_spheres(c.origin, c.direction, scene.spheres,
-                                   config.sphere_chunk)
+        t, idx = intersect_fn(c.origin, c.direction)
         hit = make_hit_info(c.origin, c.direction, t, idx, scene.spheres)
 
         # First-hit depth for compositing (wgsl:193-195).
@@ -112,7 +145,8 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
 
         return Carry(bounce=c.bounce + 1, origin=new_origin, direction=new_direction,
                      ray_color=ray_color, light=light, active=cont,
-                     first_depth=first_depth)
+                     first_depth=first_depth,
+                     segments=c.segments + jnp.sum(c.active.astype(jnp.float32)))
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -124,7 +158,7 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
     # Per-sample gamma, then averaging across samples — faithful to the reference,
     # which averages post-gamma values (wgsl:165 sums raytrace() output, which is
     # gamma-encoded at wgsl:223).
-    return linear_to_gamma(color), depth
+    return linear_to_gamma(color), depth, final.segments
 
 
 def render_impl(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
@@ -141,17 +175,19 @@ def render_impl(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
             jnp.broadcast_to(raster_color.z, (n,)),
         )
         return FrameResult(image=img.to_array().reshape(h, w, 3),
-                           rt_depth=jnp.zeros((h, w), jnp.float32))
+                           rt_depth=jnp.zeros((h, w), jnp.float32),
+                           rays_traced=jnp.float32(0.0))
 
     def sample_body(i, acc):
-        color_sum, depth_sum = acc
-        color, depth = trace_sample(scene, cam, config, pixel_ids, u, v,
-                                    jnp.uint32(i), frame_seed)
-        return (color_sum + color, depth_sum + depth)
+        color_sum, depth_sum, seg_sum = acc
+        color, depth, segments = trace_sample(scene, cam, config, pixel_ids, u, v,
+                                              jnp.uint32(i), frame_seed)
+        return (color_sum + color, depth_sum + depth, seg_sum + segments)
 
-    zero = (Vec3.full((n,), 0.0, 0.0, 0.0), jnp.zeros((n,), jnp.float32))
-    color_sum, depth_sum = jax.lax.fori_loop(0, config.samples_per_pixel,
-                                             sample_body, zero)
+    zero = (Vec3.full((n,), 0.0, 0.0, 0.0), jnp.zeros((n,), jnp.float32),
+            jnp.float32(0.0))
+    color_sum, depth_sum, seg_sum = jax.lax.fori_loop(0, config.samples_per_pixel,
+                                                      sample_body, zero)
     inv_spp = np.float32(1.0 / config.samples_per_pixel)
     rt_color = color_sum.scale(inv_spp)       # wgsl:169
     rt_depth = depth_sum * inv_spp            # wgsl:170
@@ -161,7 +197,8 @@ def render_impl(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
     img = Vec3(jnp.broadcast_to(out.x, (n,)), jnp.broadcast_to(out.y, (n,)),
                jnp.broadcast_to(out.z, (n,)))
     return FrameResult(image=img.to_array().reshape(h, w, 3),
-                       rt_depth=rt_depth.reshape(h, w))
+                       rt_depth=rt_depth.reshape(h, w),
+                       rays_traced=seg_sum)
 
 
 @functools.lru_cache(maxsize=32)

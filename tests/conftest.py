@@ -1,13 +1,12 @@
 """Test harness config: force an 8-device virtual CPU mesh.
 
-Must run before JAX is imported anywhere, so it lives at conftest import time.
-Real-TPU benchmarking happens only via bench.py, never in tests.
+This machine's interpreter boots with a sitecustomize hook that force-registers the
+experimental "axon" TPU backend (ignoring JAX_PLATFORMS), so we override the platform
+via jax.config *before any backend is instantiated*. Real-TPU benchmarking happens
+only via bench.py, never in tests.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
