@@ -1,0 +1,155 @@
+"""Command-line front-end — the bevyray-equivalent user program.
+
+The reference app is an interactive Bevy window (main.rs); headless TPU boxes get a
+CLI instead: render stills, run progressive accumulation, benchmark. Usage:
+
+    python -m bevyray_tpu.app.cli render --scene final --width 1280 --height 720 \
+        --spp 16 --bounces 4 --level 2 --seed 42 --out frame.png
+    python -m bevyray_tpu.app.cli bench --frames 8
+    python -m bevyray_tpu.app.cli accumulate --scene material --passes 8 --out out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_world(args):
+    from ..scene import rtiow
+    from ..scene.components import RaytracedCamera, Raytracing
+
+    cam = RaytracedCamera(level=Raytracing(args.level), sample_count=args.spp,
+                          bounces=args.bounces)
+    if args.scene == "final":
+        return rtiow.final_scene(seed=args.scene_seed, camera=cam)
+    if args.scene == "simple":
+        return rtiow.simple_scene(camera=cam)
+    if args.scene == "material":
+        return rtiow.material_test_scene(camera=cam)
+    raise SystemExit(f"unknown scene {args.scene!r}")
+
+
+def _config(args):
+    from ..core.types import RenderConfig
+
+    backend = "auto" if args.backend == "pallas" else args.backend
+    return RenderConfig(width=args.width, height=args.height,
+                        samples_per_pixel=args.spp, bounces=args.bounces,
+                        level=args.level, intersect_backend=backend)
+
+
+def _make_renderer(args, config):
+    if args.backend == "pallas":
+        from ..engine.pallas_renderer import PallasRenderer
+
+        return PallasRenderer(config)
+    from ..engine.renderer import Renderer
+
+    return Renderer(config)
+
+
+def cmd_render(args):
+    import jax
+
+    from ..utils.png import write_png
+
+    world = _build_world(args)
+    config = _config(args)
+    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    cam = world.camera_state(aspect=args.width / args.height)
+    renderer = _make_renderer(args, config)
+
+    t0 = time.perf_counter()
+    frame = renderer.render(scene, cam, seed=args.seed)
+    jax.block_until_ready(frame.image)
+    dt = time.perf_counter() - t0
+    write_png(args.out, np.asarray(frame.image))
+    rays = float(frame.rays_traced)
+    print(f"rendered {args.width}x{args.height} spp={args.spp} in {dt:.3f}s "
+          f"(compile included), {rays / dt / 1e6:.1f} Mrays/s -> {args.out}")
+    return 0
+
+
+def cmd_accumulate(args):
+    import jax
+
+    from ..engine.film import ProgressiveRenderer
+    from ..utils.png import write_png
+
+    world = _build_world(args)
+    config = _config(args)
+    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    cam = world.camera_state(aspect=args.width / args.height)
+    prog = ProgressiveRenderer(config)
+    frame = None
+    for i in range(args.passes):
+        frame = prog.step(scene, cam, seed=args.seed + i)
+    jax.block_until_ready(frame.image)
+    write_png(args.out, np.asarray(frame.image))
+    print(f"accumulated {prog.samples_accumulated} spp -> {args.out}")
+    return 0
+
+
+def cmd_bench(args):
+    import jax
+
+    world = _build_world(args)
+    config = _config(args)
+    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    cam = world.camera_state(aspect=args.width / args.height)
+    renderer = _make_renderer(args, config)
+
+    frame = renderer.render(scene, cam, seed=0)
+    jax.block_until_ready(frame.image)
+    rays = float(frame.rays_traced)
+
+    times = []
+    for i in range(args.frames):
+        t0 = time.perf_counter()
+        frame = renderer.render(scene, cam, seed=i + 1)
+        jax.block_until_ready(frame.image)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    print(json.dumps({
+        "metric": f"Mrays/sec ({args.scene}, {args.width}x{args.height}, "
+                  f"{args.spp}spp)",
+        "value": round(rays / p50 / 1e6, 2),
+        "unit": "Mrays/s",
+        "p50_frame_ms": round(p50 * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="bevyray-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("render", cmd_render), ("bench", cmd_bench),
+                     ("accumulate", cmd_accumulate)]:
+        s = sub.add_parser(name)
+        s.set_defaults(fn=fn)
+        s.add_argument("--scene", default="final",
+                       choices=["final", "simple", "material"])
+        s.add_argument("--scene-seed", type=int, default=42)
+        s.add_argument("--width", type=int, default=1280)
+        s.add_argument("--height", type=int, default=720)
+        s.add_argument("--spp", type=int, default=16)
+        s.add_argument("--bounces", type=int, default=4)
+        s.add_argument("--level", type=int, default=3, choices=[0, 1, 2, 3])
+        s.add_argument("--seed", type=int, default=1)
+        s.add_argument("--backend", default="auto",
+                       choices=["auto", "brute", "bvh", "pallas"])
+        s.add_argument("--out", default="frame.png")
+        s.add_argument("--frames", type=int, default=8)
+        s.add_argument("--passes", type=int, default=8)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

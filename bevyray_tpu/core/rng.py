@@ -54,9 +54,15 @@ def pcg_step(state):
 def to_float01(state):
     """u32 → f32 in [0, 1): ``f32(state) * 2^-32`` (random.wgsl:3-6).
 
-    Works on JAX and NumPy uint32 arrays/scalars alike.
+    The JAX path avoids a direct uint32→float32 cast (no Mosaic lowering) by
+    splitting into a 24-bit high part and 8-bit low part; ``hi*256`` is exact and
+    the sum rounds once, so the result is bit-identical to the direct cast.
     """
-    return state.astype(np.float32) * _INV_2POW32
+    if isinstance(state, (np.ndarray, np.generic)):
+        return state.astype(np.float32) * _INV_2POW32
+    hi = (state >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+    lo = (state & np.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+    return (hi * np.float32(256.0) + lo) * _INV_2POW32
 
 
 def next_float(state):
@@ -112,7 +118,10 @@ def unit_ball_from_uniforms(u1, u2, u3, u4, u5) -> Vec3:
     two_pi = np.float32(2.0 * PI)
     g = Vec3(r1 * jnp.cos(two_pi * u2), r1 * jnp.sin(two_pi * u2), r3 * jnp.cos(two_pi * u4))
     inv_len = 1.0 / jnp.maximum(g.length(), 1e-20)
-    radius = jnp.cbrt(u5)
+    # cbrt for u >= 0 via exp(log(u)/3): jnp.cbrt has no Mosaic (Pallas TPU)
+    # lowering, and using the same formula in both the XLA and Pallas renderers
+    # keeps them bit-comparable.
+    radius = jnp.exp(jnp.log(jnp.maximum(u5, 1e-30)) * np.float32(1.0 / 3.0))
     return g.scale(inv_len * radius)
 
 
@@ -133,5 +142,6 @@ def unit_ball_from_uniforms_np(u1, u2, u3, u4, u5):
     g = np.stack([gx, gy, gz], axis=-1).astype(np.float32)
     length = np.sqrt((g * g).sum(-1, keepdims=True)).astype(np.float32)
     inv_len = np.float32(1.0) / np.maximum(length, np.float32(1e-20))
-    radius = np.cbrt(np.float32(u5))[..., None].astype(np.float32)
+    radius = np.exp(np.log(np.maximum(np.float32(u5), np.float32(1e-30)))
+                    * np.float32(1.0 / 3.0))[..., None].astype(np.float32)
     return (g * inv_len * radius).astype(np.float32)

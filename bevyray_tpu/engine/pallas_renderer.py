@@ -1,0 +1,66 @@
+"""Pallas-megakernel renderer front-end — same API/semantics as engine.Renderer,
+hot path in kernels/pallas/megakernel.py."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import CameraState, RenderConfig, SceneBuffers
+from ..core.vec import Vec3
+from ..kernels.composite import composite
+from ..kernels.pallas.megakernel import (PallasScene, prepare_pallas_scene,
+                                         render_tiles)
+from .renderer import FrameResult
+
+
+def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConfig,
+                       frame_seed, raster_color: Vec3, raster_depth) -> FrameResult:
+    h, w = config.height, config.width
+    n = h * w
+    r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed)
+    rt_color = Vec3(r[:n], g[:n], b[:n])
+    rt_depth = depth[:n]
+    out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
+                    raster_color, raster_depth)
+    img = jnp.stack([jnp.broadcast_to(out.x, (n,)), jnp.broadcast_to(out.y, (n,)),
+                     jnp.broadcast_to(out.z, (n,))], axis=-1)
+    return FrameResult(image=img.reshape(h, w, 3), rt_depth=rt_depth.reshape(h, w),
+                       rays_traced=segs)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted(config: RenderConfig):
+    return jax.jit(functools.partial(pallas_render_impl, config=config))
+
+
+class PallasRenderer:
+    """Drop-in replacement for engine.Renderer using the fused megakernel."""
+
+    def __init__(self, config: RenderConfig):
+        self.config = config
+        self._fn = _jitted(config)
+        self._pscene_cache = None
+
+    def prepare(self, scene: SceneBuffers) -> PallasScene:
+        key = tuple(id(leaf) for leaf in jax.tree.leaves(scene.spheres))
+        if self._pscene_cache is not None and self._pscene_cache[0] == key:
+            return self._pscene_cache[1]
+        pscene = jax.jit(prepare_pallas_scene)(scene)
+        self._pscene_cache = (key, pscene)
+        return pscene
+
+    def render(self, scene: SceneBuffers, cam: CameraState, seed: int,
+               raster_color: Optional[Vec3] = None,
+               raster_depth=None) -> FrameResult:
+        if raster_color is None:
+            raster_color = Vec3.splat(jnp.float32(1.0))
+        if raster_depth is None:
+            raster_depth = jnp.float32(0.0)
+        pscene = self.prepare(scene)
+        return self._fn(pscene=pscene, cam=cam,
+                        frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
+                        raster_color=raster_color, raster_depth=raster_depth)

@@ -71,6 +71,8 @@ def scatter(direction: Vec3, hit: HitInfo, mat: MaterialLanes,
                          Vec3.where(is_trans, dielectric_dir, diffuse_dir))
     white = Vec3.splat(1.0)
     attenuation = Vec3.where(is_trans, white, mat.base_color)
-    absorbed = jnp.where(is_metal, metal_absorbed,
-                         jnp.where(is_trans, False, diffuse_absorbed))
+    # Boolean algebra instead of selects (dielectric never absorbs, wgsl:280);
+    # also the only form Mosaic lowers for i1 vectors.
+    absorbed = ((is_metal & metal_absorbed)
+                | (~is_metal & ~is_trans & diffuse_absorbed))
     return ScatterResult(direction=out_dir, attenuation=attenuation, absorbed=absorbed)
