@@ -33,6 +33,26 @@ class Film(NamedTuple):
     rays_traced: jnp.ndarray  # f32 scalar — total segments ever traced
 
 
+def save_film(path: str, film: Film) -> None:
+    """Checkpoint the accumulation state (the framework's persistent state —
+    SURVEY.md §5 notes the reference has none). Plain .npz, host round-trip."""
+    np.savez(path, color_x=np.asarray(film.color_sum.x),
+             color_y=np.asarray(film.color_sum.y),
+             color_z=np.asarray(film.color_sum.z),
+             depth=np.asarray(film.depth_sum),
+             n_samples=np.asarray(film.n_samples),
+             rays_traced=np.asarray(film.rays_traced))
+
+
+def load_film(path: str) -> Film:
+    z = np.load(path)
+    return Film(color_sum=Vec3(jnp.asarray(z["color_x"]), jnp.asarray(z["color_y"]),
+                               jnp.asarray(z["color_z"])),
+                depth_sum=jnp.asarray(z["depth"]),
+                n_samples=jnp.asarray(z["n_samples"]),
+                rays_traced=jnp.asarray(z["rays_traced"]))
+
+
 def new_film(config: RenderConfig) -> Film:
     n = config.n_pixels
     return Film(color_sum=Vec3.full((n,), 0.0, 0.0, 0.0),
@@ -134,3 +154,14 @@ class ProgressiveRenderer:
     @property
     def samples_accumulated(self) -> int:
         return self._sample_offset
+
+    # -- checkpoint / resume -----------------------------------------------------
+    def save(self, path: str) -> None:
+        save_film(path, self.film)
+
+    def load(self, path: str, cam: CameraState) -> None:
+        """Resume accumulation from a checkpoint taken with the same config and
+        camera; subsequent steps continue the sample-index sequence exactly."""
+        self.film = load_film(path)
+        self._sample_offset = int(np.asarray(self.film.n_samples))
+        self._last_cam_key = self._cam_key(cam)

@@ -113,21 +113,29 @@ def _intersect_chunks(origin: Vec3, direction: Vec3, cx_ref, cy_ref, cz_ref, r_r
 
 
 def _gather_attrs(best_i, attr_hi, attr_lo, n_spheres_padded: int):
-    """attrs[:, best_i] for every ray via one-hot matmul on the MXU.
+    """attrs[:, best_i] for every ray via one-hot matmuls on the MXU.
 
     ``attr_hi/lo`` are (N_ATTR, S) bf16 (hi/lo split of the f32 table). Returns a
-    (N_ATTR, TILE) f32 matrix; miss lanes (best_i < 0) produce all-zero columns.
+    list of N_ATTR (TILE_SUB, 128) f32 arrays; miss lanes (best_i < 0) get zeros.
+
+    Done one sublane-row at a time — onehot_r is (S, 128) built from a (1, 128)
+    row slice, so no sublane↔lane relayout ever happens (reshapes of (8,128) to
+    (1,1024) were the dominant per-bounce cost in the fused kernel).
     """
-    flat = jnp.reshape(best_i, (1, TILE))
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_spheres_padded, TILE), 0)
-    onehot = (iota_s == flat).astype(jnp.bfloat16)
-    out = jnp.dot(attr_hi, onehot, preferred_element_type=jnp.float32)
-    out = out + jnp.dot(attr_lo, onehot, preferred_element_type=jnp.float32)
-    return out
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_spheres_padded, 128), 0)
+    rows = []
+    for r in range(TILE_SUB):
+        onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)  # (S, 128)
+        out = jnp.dot(attr_hi, onehot, preferred_element_type=jnp.float32)
+        out = out + jnp.dot(attr_lo, onehot, preferred_element_type=jnp.float32)
+        rows.append(out)                                              # (N_ATTR, 128)
+    # attrs[j] as (TILE_SUB, 128): stack row j of every per-sublane result.
+    return [jnp.concatenate([rows[r][j:j + 1, :] for r in range(TILE_SUB)], axis=0)
+            for j in range(10)]
 
 
-def _row(mat, j):
-    return jnp.reshape(mat[j:j + 1, :], (TILE_SUB, 128))
+def _row(attrs, j):
+    return attrs[j]
 
 
 def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
