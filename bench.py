@@ -18,7 +18,8 @@ import numpy as np
 
 def main():
     import bevyray_tpu  # noqa: F401  (repo-root import)
-    from bevyray_tpu import RenderConfig, Renderer, rtiow
+    from bevyray_tpu import RenderConfig, rtiow
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
 
     width, height, spp, bounces = 1920, 1080, 16, 4
     world = rtiow.final_scene(seed=42)
@@ -26,7 +27,7 @@ def main():
                           bounces=bounces, level=3)
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=width / height)
-    renderer = Renderer(config)
+    renderer = PallasRenderer(config)   # fused megakernel — the fast path
 
     # Warmup / compile.
     frame = renderer.render(scene, cam, seed=0)

@@ -55,6 +55,9 @@ class Materials(NamedTuple):
     reflectance: jnp.ndarray
     ior: jnp.ndarray
     specular_transmission: jnp.ndarray
+    emissive_r: jnp.ndarray
+    emissive_g: jnp.ndarray
+    emissive_b: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -100,6 +103,8 @@ class CameraState(NamedTuple):
     near: jnp.ndarray
     far: jnp.ndarray
     aspect: jnp.ndarray   # width / height
+    aperture: jnp.ndarray       # thin-lens diameter; 0 = pinhole (extension)
+    focus_distance: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +123,8 @@ class RenderConfig:
     level: int = 2               # Raytracing::FallbackRaytraced (main.rs:67)
     sphere_chunk: int = 512      # spheres processed per inner block in the brute path
     intersect_backend: str = "auto"  # "auto" | "brute" | "bvh"
+    defocus: bool = False        # thin-lens blur (uses cam.aperture/focus_distance)
+    diffuse_sampling: str = "reference"  # "reference" | "cosine"
 
     @property
     def n_pixels(self) -> int:
@@ -161,11 +168,11 @@ def make_spheres_np(centers: np.ndarray, radii: np.ndarray, material_ids: np.nda
 
 
 def make_materials_np(table: np.ndarray, capacity: Optional[int] = None) -> Materials:
-    """``table``: [M, 8] float32 columns (base_r,g,b, metallic, roughness,
-    reflectance, ior, specular_transmission)."""
+    """``table``: [M, 11] float32 columns (base_r,g,b, metallic, roughness,
+    reflectance, ior, specular_transmission, emissive_r,g,b)."""
     m = table.shape[0]
     cap = capacity or pad_to(max(m, 1))
-    out = np.zeros((cap, 8), np.float32)
+    out = np.zeros((cap, 11), np.float32)
     out[:m] = table.astype(np.float32)
-    cols = [jnp.asarray(out[:, i]) for i in range(8)]
+    cols = [jnp.asarray(out[:, i]) for i in range(11)]
     return Materials(*cols)

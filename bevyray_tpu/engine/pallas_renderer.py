@@ -18,10 +18,12 @@ from .renderer import FrameResult
 
 
 def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConfig,
-                       frame_seed, raster_color: Vec3, raster_depth) -> FrameResult:
+                       frame_seed, raster_color: Vec3, raster_depth,
+                       exact_rng: bool = False) -> FrameResult:
     h, w = config.height, config.width
     n = h * w
-    r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed)
+    r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
+                                        exact_rng=exact_rng)
     rt_color = Vec3(r[:n], g[:n], b[:n])
     rt_depth = depth[:n]
     out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
@@ -33,16 +35,25 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(config: RenderConfig):
-    return jax.jit(functools.partial(pallas_render_impl, config=config))
+def _jitted(config: RenderConfig, exact_rng: bool):
+    return jax.jit(functools.partial(pallas_render_impl, config=config,
+                                     exact_rng=exact_rng))
 
 
 class PallasRenderer:
-    """Drop-in replacement for engine.Renderer using the fused megakernel."""
+    """Drop-in replacement for engine.Renderer using the fused megakernel.
 
-    def __init__(self, config: RenderConfig):
+    ``exact_rng``: use the counter-based PCG streams shared with the XLA renderer
+    and oracle (bit-comparable, slower). Defaults to exact off-TPU (so interpret
+    tests pin the logic) and the fast hardware PRNG on real TPUs.
+    """
+
+    def __init__(self, config: RenderConfig, exact_rng: Optional[bool] = None):
         self.config = config
-        self._fn = _jitted(config)
+        if exact_rng is None:
+            exact_rng = jax.default_backend() != "tpu"
+        self.exact_rng = exact_rng
+        self._fn = _jitted(config, exact_rng)
         self._pscene_cache = None
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:

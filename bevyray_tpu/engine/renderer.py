@@ -78,7 +78,13 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
     stream = rng.stream_init(pixel_ids, sample_index, frame_seed)
     ju = rng.draw(stream, np.uint32(slots.JITTER_U))
     jv = rng.draw(stream, np.uint32(slots.JITTER_V))
-    origin, direction = generate_rays(u, v, ju, jv, cam, config.height)
+    if config.defocus:
+        lu = rng.draw(stream, np.uint32(slots.LENS_U))
+        lv = rng.draw(stream, np.uint32(slots.LENS_V))
+    else:
+        lu = lv = None
+    origin, direction = generate_rays(u, v, ju, jv, cam, config.height,
+                                      lens_u=lu, lens_v=lv)
 
     n = pixel_ids.shape[0]
     f32 = jnp.float32
@@ -90,8 +96,8 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         bounce: jnp.ndarray
         origin: Vec3
         direction: Vec3
-        ray_color: Vec3
-        light: Vec3
+        ray_color: Vec3         # path throughput
+        radiance: Vec3          # accumulated emitted+sky light × throughput
         active: jnp.ndarray
         first_depth: jnp.ndarray
         segments: jnp.ndarray   # running count of active ray segments traced
@@ -101,7 +107,7 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         origin=origin,
         direction=direction,
         ray_color=Vec3.full((n,), 1.0, 1.0, 1.0),
-        light=Vec3.full((n,), 0.0, 0.0, 0.0),
+        radiance=Vec3.full((n,), 0.0, 0.0, 0.0),
         active=jnp.ones((n,), bool),
         first_depth=jnp.full((n,), INF, f32),
         segments=jnp.float32(0.0),
@@ -122,13 +128,19 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         # First-hit depth for compositing (wgsl:193-195).
         first_depth = jnp.where(c.bounce == 0, t, c.first_depth)
 
-        # Miss → pick up the sky and terminate (wgsl:198-201).
-        light = Vec3.where(c.active & hit.miss,
-                           background_gradient(c.direction), c.light)
+        # Miss → pick up the sky (throughput × gradient) and terminate
+        # (wgsl:198-201). Radiance accumulation generalizes the reference's
+        # single terminal light: for emissive-free scenes it is value-identical.
+        radiance = Vec3.where(c.active & hit.miss,
+                              c.radiance + c.ray_color
+                              * background_gradient(c.direction), c.radiance)
         active_hit = c.active & ~hit.miss
 
         # Scatter (wgsl:203-211).
         mat = gather_materials(scene.materials, hit.material_id)
+        # Emissive surfaces add throughput-weighted radiance on hit (extension).
+        radiance = Vec3.where(active_hit,
+                              radiance + c.ray_color * mat.emissive, radiance)
         base = jnp.uint32(slots.RAYGEN_DRAWS) + (
             c.bounce.astype(jnp.uint32) * np.uint32(slots.DRAWS_PER_BOUNCE))
         u_metal = rng.draw(stream, base + np.uint32(slots.S_METAL))
@@ -136,7 +148,8 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         u_reflect = rng.draw(stream, base + np.uint32(slots.S_REFLECT))
         ball1 = _draw_ball(stream, base, slots.S_BALL1)
         ball2 = _draw_ball(stream, base, slots.S_BALL2)
-        sc = scatter(c.direction, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2)
+        sc = scatter(c.direction, hit, mat, u_metal, u_trans, u_reflect,
+                     ball1, ball2, diffuse_mode=config.diffuse_sampling)
 
         cont = active_hit & ~sc.absorbed
         ray_color = Vec3.where(cont, c.ray_color * sc.attenuation, c.ray_color)
@@ -144,16 +157,16 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         new_direction = Vec3.where(active_hit, sc.direction, c.direction)
 
         return Carry(bounce=c.bounce + 1, origin=new_origin, direction=new_direction,
-                     ray_color=ray_color, light=light, active=cont,
+                     ray_color=ray_color, radiance=radiance, active=cont,
                      first_depth=first_depth,
                      segments=c.segments + jnp.sum(c.active.astype(jnp.float32)))
 
     final = jax.lax.while_loop(cond, body, init)
 
-    # Loop exhausted without reaching the sky → black (wgsl:215-217). Absorbed rays
-    # already carry light = 0.
-    color = Vec3.where(final.active, Vec3.splat(jnp.float32(0.0)),
-                       final.ray_color * final.light)
+    # Rays that exhausted the bounce budget never picked up the sky, so their
+    # radiance holds only emissive hits (0 in reference scenes — wgsl:215-217
+    # blackness falls out naturally). Absorbed rays likewise.
+    color = final.radiance
     depth = jnp.where(final.first_depth >= INF, fallback_far, final.first_depth)
     # Per-sample gamma, then averaging across samples — faithful to the reference,
     # which averages post-gamma values (wgsl:165 sums raytrace() output, which is

@@ -11,7 +11,9 @@ Layout per (pixel, sample) stream::
 
     slot 0        pixel jitter u      (random_ray_from_uv, wgsl:140)
     slot 1        pixel jitter v
-    bounce b window, base = 2 + 13*b:
+    slot 2        lens sample u       (defocus blur — extension, not in reference)
+    slot 3        lens sample v
+    bounce b window, base = 4 + 13*b:
       +0          metallic branch test        (wgsl:234)
       +1          transmission branch test    (wgsl:249)
       +2          Schlick reflect test        (wgsl:269)
@@ -21,7 +23,9 @@ Layout per (pixel, sample) stream::
 
 JITTER_U = 0
 JITTER_V = 1
-RAYGEN_DRAWS = 2
+LENS_U = 2
+LENS_V = 3
+RAYGEN_DRAWS = 4
 
 S_METAL = 0
 S_TRANS = 1

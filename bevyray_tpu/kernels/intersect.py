@@ -118,6 +118,7 @@ class MaterialLanes(NamedTuple):
     roughness: jnp.ndarray
     ior: jnp.ndarray
     specular_transmission: jnp.ndarray
+    emissive: Vec3
 
 
 def gather_materials(materials: Materials, material_id: jnp.ndarray) -> MaterialLanes:
@@ -129,4 +130,6 @@ def gather_materials(materials: Materials, material_id: jnp.ndarray) -> Material
         roughness=materials.roughness[idx],
         ior=materials.ior[idx],
         specular_transmission=materials.specular_transmission[idx],
+        emissive=Vec3(materials.emissive_r[idx], materials.emissive_g[idx],
+                      materials.emissive_b[idx]),
     )

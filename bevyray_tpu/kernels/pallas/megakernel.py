@@ -8,18 +8,24 @@ frame is the final per-pixel color/depth write. (The XLA wavefront in
 ``engine.renderer`` round-trips multi-GB [rays × spheres] intermediates through HBM
 every bounce; this kernel is the fix.)
 
-Design notes (constraints discovered by probing Mosaic on TPU v5e):
+Design notes (constraints/costs measured on TPU v5e by probing + ablation):
 
 - No dynamic scalar indexing of VMEM and no per-lane gathers → the sphere loop is a
   *statically unrolled* walk over 128-wide sphere chunks, computing dense
-  ``(TILE_SUB, 128 rays, 128 spheres)`` pair blocks (pure full-width VPU work).
-- Winning-sphere attributes are fetched with a **one-hot MXU matmul**:
-  ``attrs[16, S] @ onehot[S, TILE]``. The MXU truncates inputs to bf16, so the
-  attribute table is split hi/lo (bf16x2) for ~f32 accuracy; the one-hot itself is
-  exact in bf16.
-- Shading, RNG, and sky reuse the exact same jnp building blocks as the XLA
-  renderer (core.rng, kernels.shade, kernels.composite), so the two paths stay
-  bit-comparable — that equivalence is asserted in tests.
+  ``(TILE_SUB, 128 rays, 128 spheres)`` pair blocks (pure full-width VPU work,
+  ~22 ns/ray·bounce for 512 spheres — near VPU speed of light).
+- Winning-sphere attributes are fetched with **one-hot MXU matmuls**. Small matmuls
+  dominate this cost, so all attributes (centers + materials, each split bf16
+  hi/lo for f32 accuracy — the MXU truncates inputs to bf16) live in ONE 24-row
+  table and ray rows are paired, giving 4 matmuls per bounce instead of 16.
+- Mosaic's log/cos/sin lower very slowly (~36 ns/ray·bounce for two Box–Muller
+  ball samples — more than the entire 512-sphere intersection), so the default
+  RNG is the **hardware PRNG** (``pltpu.prng_*``) with fixed-K rejection sampling
+  for unit-ball draws (no transcendentals). ``exact_rng=True`` switches to the
+  counter-based PCG streams + Box–Muller shared with the XLA renderer and the
+  NumPy oracle — bit-comparable, used by interpret-mode tests.
+- Shading, sky, and the exact-RNG path reuse the same jnp building blocks as the
+  XLA renderer (core.rng, kernels.shade, kernels.composite).
 """
 
 from __future__ import annotations
@@ -42,30 +48,178 @@ from ..composite import background_gradient, linear_to_gamma
 from ..intersect import HitInfo, MaterialLanes
 from ..shade import scatter
 
-TILE_SUB = 8          # sublanes per tile
+TILE_SUB = 8           # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
 SPHERE_CHUNK = 128     # spheres per pair block (lane dim)
+BALL_REJECT_K = 6      # fixed rejection tries for hardware-RNG ball sampling
 
-# Attribute-table rows (one-hot gather): centers + the 7 shaded material fields.
-ATTR_CX, ATTR_CY, ATTR_CZ = 0, 1, 2
-ATTR_BASE_R, ATTR_BASE_G, ATTR_BASE_B = 3, 4, 5
-ATTR_METALLIC, ATTR_ROUGHNESS, ATTR_IOR, ATTR_TRANS = 6, 7, 8, 9
-N_ATTR = 16            # padded to a sublane multiple
+# Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
+_C_HI, _C_LO = 0, 3            # cx, cy, cz
+_M_HI, _M_LO = 6, 16           # base rgb, metallic, rough, ior, trans, emissive rgb
+N_MAT = 10
+N_ATTR = 32                    # padded to a sublane multiple
 
 # Camera/scalar uniform slots (SMEM row vector).
 (C_POS_X, C_POS_Y, C_POS_Z, C_DIR_X, C_DIR_Y, C_DIR_Z, C_UP_X, C_UP_Y, C_UP_Z,
  C_RIGHT_X, C_RIGHT_Y, C_RIGHT_Z, C_SCALE, C_ASPECT, C_NEAR, C_FAR,
- C_WIDTH, C_HEIGHT, C_NPIX) = range(19)
+ C_WIDTH, C_HEIGHT, C_NPIX, C_APERTURE, C_FOCUS) = range(21)
 N_CAM = 24
 
 
-def _draw(stream, slot):
-    return rng.draw(stream, slot)
+class ExactRngProvider:
+    """Counter-based PCG streams — bit-comparable with the XLA renderer/oracle."""
+
+    def __init__(self, pixel_index, sample_idx, frame_seed):
+        self.stream = rng.stream_init(pixel_index.astype(jnp.uint32),
+                                      sample_idx.astype(jnp.uint32), frame_seed)
+
+    def jitter(self):
+        return (rng.draw(self.stream, np.uint32(slots.JITTER_U)),
+                rng.draw(self.stream, np.uint32(slots.JITTER_V)))
+
+    def lens(self):
+        return (rng.draw(self.stream, np.uint32(slots.LENS_U)),
+                rng.draw(self.stream, np.uint32(slots.LENS_V)))
+
+    def scatter_draws(self, bounce):
+        base = jnp.uint32(slots.RAYGEN_DRAWS) + (
+            bounce.astype(jnp.uint32) * np.uint32(slots.DRAWS_PER_BOUNCE))
+        u_metal = rng.draw(self.stream, base + np.uint32(slots.S_METAL))
+        u_trans = rng.draw(self.stream, base + np.uint32(slots.S_TRANS))
+        u_reflect = rng.draw(self.stream, base + np.uint32(slots.S_REFLECT))
+        ball1 = self._ball(base, slots.S_BALL1)
+        ball2 = self._ball(base, slots.S_BALL2)
+        return u_metal, u_trans, u_reflect, ball1, ball2
+
+    def _ball(self, base, first):
+        us = [rng.draw(self.stream, base + np.uint32(first + k)) for k in range(5)]
+        return rng.unit_ball_from_uniforms(*us)
 
 
-def _ball(stream, base, first):
-    us = [_draw(stream, base + np.uint32(first + k)) for k in range(5)]
-    return rng.unit_ball_from_uniforms(*us)
+# ---------------------------------------------------------------------------
+# Fast math: Mosaic's builtin log/exp/sin/cos lower to very slow sequences
+# (measured: two Box–Muller balls cost more than a 512-sphere intersection), so
+# the fast-RNG path uses classic bit-trick approximations (~1e-4 relative error,
+# far below Monte-Carlo noise). Formulas are the widely-known "fastapprox" ones.
+# ---------------------------------------------------------------------------
+
+def _fast_log2(x):
+    """log2(x) for x > 0, ~1e-4 abs error.
+
+    Bit patterns of positive finite floats fit in int32, and Mosaic has no
+    uint32→float32 cast, so the reinterpretation goes through int32.
+    """
+    vx = pltpu.bitcast(x, jnp.int32).astype(jnp.float32)
+    mx = pltpu.bitcast((pltpu.bitcast(x, jnp.int32) & np.int32(0x007FFFFF))
+                       | np.int32(0x3F000000), jnp.float32)
+    y = vx * np.float32(1.1920928955078125e-7)
+    return (y - np.float32(124.22551499) - np.float32(1.498030302) * mx
+            - np.float32(1.72587999) / (np.float32(0.3520887068) + mx))
+
+
+def _fast_pow2(p):
+    """2**p, ~1e-4 relative error, p in a sane range.
+
+    NOTE: the fractional part must come from truncation toward zero (not floor)
+    for the offset trick to keep z in [0, 2) at negative p.
+    """
+    offset = jnp.where(p < 0.0, 1.0, 0.0)
+    trunc = jnp.where(p < 0.0, -jnp.floor(-p), jnp.floor(p))
+    z = p - trunc + offset
+    v = ((np.float32(1 << 23))
+         * (p + np.float32(121.2740575)
+            + np.float32(27.7280233) / (np.float32(4.84252568) - z)
+            - np.float32(1.49012907) * z))
+    # Exponent-biased value is < 2^31 for any sane p → int32 is safe (and Mosaic
+    # lacks f32↔u32 casts).
+    return pltpu.bitcast(v.astype(jnp.int32), jnp.float32)
+
+
+def _fast_sinpi(x):
+    """sin(pi*x) for x in [-1, 1], ~0.1% error (parabola + refinement)."""
+    y = np.float32(4.0) * x * (np.float32(1.0) - jnp.abs(x))
+    return np.float32(0.225) * (y * jnp.abs(y) - y) + y
+
+
+def _fast_sin2pi(t):
+    """sin(2*pi*t) for t in [0, 1)."""
+    x = np.float32(2.0) * t - np.float32(1.0)          # [-1, 1)
+    return -_fast_sinpi(x)
+
+
+def _fast_cos2pi(t):
+    tq = t + np.float32(0.25)
+    tq = tq - jnp.floor(tq)
+    return _fast_sin2pi(tq)
+
+
+_LN2 = np.float32(0.6931471805599453)
+
+
+def _fast_ball(u1, u2, u3, u4, u5) -> Vec3:
+    """Uniform point in the unit ball from 5 uniforms — same construction as
+    rng.unit_ball_from_uniforms (Gaussian direction via Box–Muller + cube-root
+    radius) but with fast-math transcendentals."""
+    l1 = _fast_log2(jnp.maximum(u1, 1e-9)) * _LN2
+    l3 = _fast_log2(jnp.maximum(u3, 1e-9)) * _LN2
+    r1 = jnp.sqrt(-2.0 * l1)
+    r3 = jnp.sqrt(-2.0 * l3)
+    gx = r1 * _fast_cos2pi(u2)
+    gy = r1 * _fast_sin2pi(u2)
+    gz = r3 * _fast_cos2pi(u4)
+    inv_len = jax.lax.rsqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-20))
+    radius = _fast_pow2(_fast_log2(jnp.maximum(u5, 1e-30))
+                        * np.float32(1.0 / 3.0))
+    s = inv_len * radius
+    return Vec3(gx * s, gy * s, gz * s)
+
+
+class HwRngProvider:
+    """TPU hardware PRNG: stateful per-core generator, seeded per (frame, tile,
+    sample).
+
+    Per-uniform generation cost dominates (bulk generation measured no cheaper
+    per word), so the budget is kept to 13 uniforms per bounce — the same count
+    as the exact path — with ball samples via fast-math Box–Muller. All of a
+    bounce's bits come from a single ``prng_random_bits`` call.
+    """
+
+    SCATTER_DRAWS = 3 + 2 * 5   # branch tests + 2 five-uniform balls
+
+    def __init__(self, tile_id, sample_idx, frame_seed):
+        mixed = (frame_seed
+                 ^ (tile_id.astype(jnp.uint32) * np.uint32(0x9E3779B9))
+                 ^ (sample_idx.astype(jnp.uint32) * np.uint32(0x85EBCA6B)))
+        pltpu.prng_seed(mixed.astype(jnp.int32))
+
+    @staticmethod
+    def _uniform_block(n_draws):
+        """(n_draws·TILE_SUB, 128) uniforms in [0,1) from one bit generation.
+
+        All integer work stays in SIGNED int32 — unsigned vector ops are
+        pathological in this Mosaic version (scalarized / compile hangs).
+        """
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((n_draws * TILE_SUB, 128)), jnp.int32)
+        mant = (jax.lax.shift_right_logical(bits, np.int32(9))
+                | np.int32(0x3F800000))
+        return pltpu.bitcast(mant, jnp.float32) - 1.0   # 23 random mantissa bits
+
+    def jitter(self):
+        u = self._uniform_block(2)
+        return u[0:TILE_SUB], u[TILE_SUB:2 * TILE_SUB]
+
+    def lens(self):
+        u = self._uniform_block(2)
+        return u[0:TILE_SUB], u[TILE_SUB:2 * TILE_SUB]
+
+    def scatter_draws(self, bounce):
+        del bounce  # stateful generator; draw order alone defines the stream
+        u = self._uniform_block(self.SCATTER_DRAWS)
+        part = lambda k: u[k * TILE_SUB:(k + 1) * TILE_SUB]
+        ball1 = _fast_ball(part(3), part(4), part(5), part(6), part(7))
+        ball2 = _fast_ball(part(8), part(9), part(10), part(11), part(12))
+        return part(0), part(1), part(2), ball1, ball2
 
 
 def _intersect_chunks(origin: Vec3, direction: Vec3, cx_ref, cy_ref, cz_ref, r_ref,
@@ -112,36 +266,34 @@ def _intersect_chunks(origin: Vec3, direction: Vec3, cx_ref, cy_ref, cz_ref, r_r
     return best_t, best_i
 
 
-def _gather_attrs(best_i, attr_hi, attr_lo, n_spheres_padded: int):
-    """attrs[:, best_i] for every ray via one-hot matmuls on the MXU.
+def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
+    """Winning-sphere attributes for every ray via one-hot MXU matmuls.
 
-    ``attr_hi/lo`` are (N_ATTR, S) bf16 (hi/lo split of the f32 table). Returns a
-    list of N_ATTR (TILE_SUB, 128) f32 arrays; miss lanes (best_i < 0) get zeros.
-
-    Done one sublane-row at a time — onehot_r is (S, 128) built from a (1, 128)
-    row slice, so no sublane↔lane relayout ever happens (reshapes of (8,128) to
-    (1,1024) were the dominant per-bounce cost in the fused kernel).
+    ``attr_table`` is the combined (N_ATTR, S) bf16 table (centers hi/lo +
+    materials hi/lo). Ray sublane-rows are processed in pairs — onehot (S, 256)
+    per pair — so the whole gather is 4 matmuls per bounce. Returns
+    ``(center: Vec3, mat: list of N_MAT arrays)`` in f32, all (TILE_SUB, 128);
+    miss lanes (best_i < 0) come back zero.
     """
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_spheres_padded, 128), 0)
-    rows = []
+    outs = []
     for r in range(TILE_SUB):
-        onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)  # (S, 128)
-        out = jnp.dot(attr_hi, onehot, preferred_element_type=jnp.float32)
-        out = out + jnp.dot(attr_lo, onehot, preferred_element_type=jnp.float32)
-        rows.append(out)                                              # (N_ATTR, 128)
-    # attrs[j] as (TILE_SUB, 128): stack row j of every per-sublane result.
-    return [jnp.concatenate([rows[r][j:j + 1, :] for r in range(TILE_SUB)], axis=0)
-            for j in range(10)]
+        onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)   # (S, 128)
+        outs.append(jnp.dot(attr_table, onehot,
+                            preferred_element_type=jnp.float32))        # (24, 128)
+
+    def assemble(row):
+        return jnp.concatenate([outs[r][row:row + 1, :]
+                                for r in range(TILE_SUB)], axis=0)      # (8, 128)
+
+    center = Vec3(*(assemble(_C_HI + k) + assemble(_C_LO + k) for k in range(3)))
+    mats = [assemble(_M_HI + k) + assemble(_M_LO + k) for k in range(N_MAT)]
+    return center, mats
 
 
-def _row(attrs, j):
-    return attrs[j]
-
-
-def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
-                   attr_hi_ref, attr_lo_ref,
+def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
-                   *, config: RenderConfig, n_spheres_padded: int):
+                   *, config: RenderConfig, n_spheres_padded: int, exact_rng: bool):
     tile_id = pl.program_id(0)
     n_chunks = n_spheres_padded // SPHERE_CHUNK
 
@@ -168,16 +320,17 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
     fallback_far = far + 10.0 if config.level == 1 else far - 1.0
     frame_seed = seed_ref[0, 0]
 
-    attr_hi = attr_hi_ref[:]
-    attr_lo = attr_lo_ref[:]
+    attr_table = attr_ref[:]
 
     def trace_one_sample(sample_idx):
         """One sample for every ray in the tile (wgsl raytrace(), :174-224)."""
-        stream = rng.stream_init(pixel_index.astype(jnp.uint32),
-                                 sample_idx.astype(jnp.uint32), frame_seed)
+        if exact_rng:
+            provider = ExactRngProvider(pixel_index, sample_idx, frame_seed)
+        else:
+            provider = HwRngProvider(tile_id, sample_idx, frame_seed)
+
         # Jittered primary ray (random_ray_from_uv, wgsl:139-156).
-        ju = _draw(stream, np.uint32(slots.JITTER_U))
-        jv = _draw(stream, np.uint32(slots.JITTER_V))
+        ju, jv = provider.jitter()
         h_px = cam_ref[0, C_HEIGHT]
         w_px = h_px * aspect
         ndc_x = (u * 2.0 - 1.0) + (ju - 0.5) / w_px
@@ -187,6 +340,15 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
         o = Vec3(jnp.broadcast_to(cam_pos.x, d.x.shape),
                  jnp.broadcast_to(cam_pos.y, d.y.shape),
                  jnp.broadcast_to(cam_pos.z, d.z.shape))
+        if config.defocus:
+            lu, lv = provider.lens()
+            lens_r = cam_ref[0, C_APERTURE] * 0.5
+            rr = lens_r * jnp.sqrt(lu)
+            lx = rr * _fast_cos2pi(lv)
+            ly = rr * _fast_sin2pi(lv)
+            focal = o + d.scale(cam_ref[0, C_FOCUS])
+            o = o + cam_right.scale(lx) + cam_up.scale(ly)
+            d = (focal - o).normalize()
 
         # The active mask is carried as f32: Mosaic's while-loop lowering is
         # unreliable for i1 vector carries (layout mismatch at the yield).
@@ -195,18 +357,18 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
             return (b <= config.bounces) & (jnp.max(active_f) > 0.0)
 
         def body(carry):
-            b, o, d, ray_color, light, active_f, first_depth, segs = carry
+            b, o, d, ray_color, radiance, active_f, first_depth, segs = carry
             active = active_f > 0.0
             t, idx = _intersect_chunks(o, d, cx_ref, cy_ref, cz_ref, r_ref,
                                        n_chunks)
             miss = t >= INF
             first_depth = jnp.where(b == 0, t, first_depth)
-            light = Vec3.where(active & miss, background_gradient(d), light)
+            radiance = Vec3.where(active & miss,
+                                  radiance + ray_color * background_gradient(d),
+                                  radiance)
             active_hit = active & ~miss
 
-            attrs = _gather_attrs(idx, attr_hi, attr_lo, n_spheres_padded)
-            center = Vec3(_row(attrs, ATTR_CX), _row(attrs, ATTR_CY),
-                          _row(attrs, ATTR_CZ))
+            center, mats = _gather_attrs(idx, attr_table, n_spheres_padded)
             safe_t = jnp.where(miss, 0.0, t)
             position = o + d.scale(safe_t)
             normal = (position - center).normalize()
@@ -214,29 +376,24 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
             hit = HitInfo(t=t, miss=miss, position=position, normal=normal,
                           material_id=idx, front_face=d.dot(normal) < 0.0)
             mat = MaterialLanes(
-                base_color=Vec3(_row(attrs, ATTR_BASE_R), _row(attrs, ATTR_BASE_G),
-                                _row(attrs, ATTR_BASE_B)),
-                metallic=_row(attrs, ATTR_METALLIC),
-                roughness=_row(attrs, ATTR_ROUGHNESS),
-                ior=_row(attrs, ATTR_IOR),
-                specular_transmission=_row(attrs, ATTR_TRANS),
+                base_color=Vec3(mats[0], mats[1], mats[2]),
+                metallic=mats[3], roughness=mats[4], ior=mats[5],
+                specular_transmission=mats[6],
+                emissive=Vec3(mats[7], mats[8], mats[9]),
             )
+            radiance = Vec3.where(active_hit,
+                                  radiance + ray_color * mat.emissive, radiance)
 
-            base = jnp.uint32(slots.RAYGEN_DRAWS) + (
-                b.astype(jnp.uint32) * np.uint32(slots.DRAWS_PER_BOUNCE))
-            u_metal = _draw(stream, base + np.uint32(slots.S_METAL))
-            u_trans = _draw(stream, base + np.uint32(slots.S_TRANS))
-            u_reflect = _draw(stream, base + np.uint32(slots.S_REFLECT))
-            ball1 = _ball(stream, base, slots.S_BALL1)
-            ball2 = _ball(stream, base, slots.S_BALL2)
-            sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2)
+            u_metal, u_trans, u_reflect, ball1, ball2 = provider.scatter_draws(b)
+            sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2,
+                         diffuse_mode=config.diffuse_sampling)
 
             cont = active_hit & ~sc.absorbed
             ray_color = Vec3.where(cont, ray_color * sc.attenuation, ray_color)
             o = Vec3.where(active_hit, hit.position, o)
             d = Vec3.where(active_hit, sc.direction, d)
             segs = segs + jnp.where(active, 1.0, 0.0)
-            return (b + 1, o, d, ray_color, light, jnp.where(cont, 1.0, 0.0),
+            return (b + 1, o, d, ray_color, radiance, jnp.where(cont, 1.0, 0.0),
                     first_depth, segs)
 
         n = (TILE_SUB, 128)
@@ -244,13 +401,13 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
                 Vec3.full(n, 1.0, 1.0, 1.0), Vec3.full(n, 0.0, 0.0, 0.0),
                 jnp.where(in_image, 1.0, 0.0), jnp.full(n, INF, jnp.float32),
                 jnp.zeros(n, jnp.float32))
-        (_, _, _, ray_color, light, active_f, first_depth, segs) = (
+        (_, _, _, _, radiance, active_f, first_depth, segs) = (
             jax.lax.while_loop(cond, body, init))
 
-        color = Vec3.where(active_f > 0.0, Vec3.splat(jnp.float32(0.0)),
-                           ray_color * light)          # exhausted → black
+        # Exhausted/absorbed rays never added sky light (wgsl:215-217 blackness
+        # falls out of the radiance formulation for emissive-free scenes).
         depth = jnp.where(first_depth >= INF, fallback_far, first_depth)
-        return linear_to_gamma(color), depth, segs
+        return linear_to_gamma(radiance), depth, segs
 
     def sample_body(i, acc):
         cr, cg, cb, dsum, segsum = acc
@@ -272,14 +429,13 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref,
 
 
 class PallasScene(NamedTuple):
-    """Kernel-ready scene: sphere SoA rows + bf16x2 attribute table."""
+    """Kernel-ready scene: sphere SoA rows + combined bf16x2 attribute table."""
 
     cx: jnp.ndarray       # (1, S) f32
     cy: jnp.ndarray
     cz: jnp.ndarray
     radius: jnp.ndarray
-    attr_hi: jnp.ndarray  # (N_ATTR, S) bf16
-    attr_lo: jnp.ndarray  # (N_ATTR, S) bf16
+    attr: jnp.ndarray     # (N_ATTR, S) bf16: [c_hi(3), c_lo(3), m_hi(7+1), m_lo(7+1)]
 
 
 def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
@@ -292,16 +448,28 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     mt = scene.materials
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
     radius = jnp.where(sp.valid, sp.radius, 0.0)
-    attr = jnp.stack([
-        sp.cx, sp.cy, sp.cz,
+    center = jnp.stack([sp.cx, sp.cy, sp.cz], axis=0)
+    mat = jnp.stack([
         mt.base_r[mid], mt.base_g[mid], mt.base_b[mid],
         mt.metallic[mid], mt.roughness[mid], mt.ior[mid],
         mt.specular_transmission[mid],
-    ] + [jnp.zeros_like(sp.cx)] * (N_ATTR - 10), axis=0)
-    attr_hi = attr.astype(jnp.bfloat16)
-    attr_lo = (attr - attr_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        mt.emissive_r[mid], mt.emissive_g[mid], mt.emissive_b[mid],
+    ], axis=0)
+
+    def hi_lo(x):
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    c_hi, c_lo = hi_lo(center)
+    m_hi, m_lo = hi_lo(mat)
+    attr = jnp.concatenate([c_hi, c_lo, m_hi, m_lo], axis=0)
+    pad = N_ATTR - attr.shape[0]
+    if pad:
+        attr = jnp.concatenate(
+            [attr, jnp.zeros((pad, attr.shape[1]), jnp.bfloat16)], axis=0)
     return PallasScene(cx=sp.cx[None, :], cy=sp.cy[None, :], cz=sp.cz[None, :],
-                       radius=radius[None, :], attr_hi=attr_hi, attr_lo=attr_lo)
+                       radius=radius[None, :], attr=attr)
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):
@@ -316,6 +484,7 @@ def _pack_camera(cam: CameraState, config: RenderConfig):
         C_NEAR: cam.near, C_FAR: cam.far,
         C_WIDTH: jnp.float32(config.width), C_HEIGHT: jnp.float32(config.height),
         C_NPIX: jnp.float32(config.n_pixels),
+        C_APERTURE: cam.aperture, C_FOCUS: cam.focus_distance,
     }
     for k, val in entries.items():
         vals = vals.at[0, k].set(jnp.asarray(val, jnp.float32))
@@ -323,7 +492,7 @@ def _pack_camera(cam: CameraState, config: RenderConfig):
 
 
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
-                 frame_seed):
+                 frame_seed, exact_rng: bool = False):
     """Run the megakernel over the frame. Returns (r, g, b, depth) as [N_padded]
     flat arrays plus the traced-segment count (f32 scalar)."""
     n = config.n_pixels
@@ -334,11 +503,15 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     cam_row = _pack_camera(cam, config)
     seed = jnp.asarray(frame_seed, jnp.uint32).reshape(1, 1)
 
-    kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s)
     grid = (n_tiles,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
-    # executes the same program with XLA ops — slow but exact.
+    # executes the same program with XLA ops — slow but exact. The hardware PRNG
+    # has no interpreter lowering, so the exact-RNG path is forced there.
     interpret = jax.default_backend() != "tpu"
+    if interpret:
+        exact_rng = True
+    kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s,
+                               exact_rng=exact_rng)
     tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -350,15 +523,14 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             full((1, s)), full((1, s)), full((1, s)), full((1, s)),
-            full((N_ATTR, s)), full((N_ATTR, s)),
+            full((N_ATTR, s)),
         ],
         out_specs=[tile_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
         ] * 5,
         interpret=interpret,
-    )(cam_row, seed, pscene.cx, pscene.cy, pscene.cz, pscene.radius,
-      pscene.attr_hi, pscene.attr_lo)
+    )(cam_row, seed, pscene.cx, pscene.cy, pscene.cz, pscene.radius, pscene.attr)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)

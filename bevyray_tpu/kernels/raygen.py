@@ -26,12 +26,18 @@ def pixel_uv(width: int, height: int):
     return u, v
 
 
-def generate_rays(u, v, jitter_u, jitter_v, cam: CameraState, height: int):
+def generate_rays(u, v, jitter_u, jitter_v, cam: CameraState, height: int,
+                  lens_u=None, lens_v=None):
     """Jittered perspective primary rays (raytrace.wgsl:139-156).
 
     ``jitter_u/v`` are uniforms in [0,1); the reference subtracts 0.5 and scales by
     one texel (wgsl:140-144). Note the reference derives *width* from
     ``window.height * aspect`` (wgsl:142) — reproduced as-is.
+
+    ``lens_u/v`` enable thin-lens defocus blur (extension beyond the reference):
+    the origin is jittered on a disk of diameter ``cam.aperture`` and the ray is
+    re-aimed at the pinhole ray's focal point at ``cam.focus_distance``. With
+    aperture 0 the pinhole path is reproduced exactly.
 
     Returns (origin: Vec3, direction: Vec3 — normalized).
     """
@@ -56,4 +62,17 @@ def generate_rays(u, v, jitter_u, jitter_v, cam: CameraState, height: int):
         jnp.broadcast_to(cam.position.y, direction.y.shape),
         jnp.broadcast_to(cam.position.z, direction.z.shape),
     )
+
+    if lens_u is not None:
+        # Uniform disk sample (r = R·sqrt(u), θ = 2πv), offset the origin on the
+        # lens plane, re-aim at the focal point.
+        lens_radius = cam.aperture * 0.5
+        r = lens_radius * jnp.sqrt(lens_u)
+        theta = (2.0 * jnp.pi) * lens_v
+        lx = r * jnp.cos(theta)
+        ly = r * jnp.sin(theta)
+        focal = origin + direction.scale(cam.focus_distance)
+        origin = origin + right.scale(lx) + cam.up.scale(ly)
+        direction = (focal - origin).normalize()
+
     return origin, direction

@@ -33,12 +33,18 @@ class ScatterResult(NamedTuple):
 
 
 def scatter(direction: Vec3, hit: HitInfo, mat: MaterialLanes,
-            u_metal, u_trans, u_reflect, ball1: Vec3, ball2: Vec3) -> ScatterResult:
+            u_metal, u_trans, u_reflect, ball1: Vec3, ball2: Vec3,
+            diffuse_mode: str = "reference") -> ScatterResult:
     """One scatter event for a batch of rays.
 
     ``u_*`` are uniform draws; ``ball1/ball2`` are unit-ball samples. Fixed draw
     slots replace the reference's serial, branch-dependent RNG consumption — the
     NumPy oracle follows the identical contract.
+
+    ``diffuse_mode``: "reference" reproduces the quirky RTiOW-variant lobe
+    (non-unit ball + roughness term); "cosine" uses textbook cosine importance
+    sampling (normal + on-sphere unit vector) — an extension for BASELINE
+    config 4, lower variance for Lambertian surfaces.
     """
     n = hit.normal
 
@@ -56,7 +62,10 @@ def scatter(direction: Vec3, hit: HitInfo, mat: MaterialLanes,
     dielectric_dir = Vec3.where(use_reflect, reflect(unit, n), refract(unit, n, ri))
 
     # --- diffuse branch (wgsl:282-297) -----------------------------------------
-    diffuse_dir = n + ball1 + ball2.scale(mat.roughness)
+    if diffuse_mode == "cosine":
+        diffuse_dir = n + ball1.normalize()
+    else:
+        diffuse_dir = n + ball1 + ball2.scale(mat.roughness)
     near_zero = ((jnp.abs(diffuse_dir.x) < NEAR_ZERO)
                  & (jnp.abs(diffuse_dir.y) < NEAR_ZERO)
                  & (jnp.abs(diffuse_dir.z) < NEAR_ZERO))

@@ -30,11 +30,17 @@ class Raytracing(enum.IntEnum):
 
 @dataclasses.dataclass
 class RaytracedCamera:
-    """Per-camera raytrace config (mod.rs:86-91; defaults from main.rs:66-70)."""
+    """Per-camera raytrace config (mod.rs:86-91; defaults from main.rs:66-70).
+
+    ``aperture``/``focus_distance`` add thin-lens defocus blur (extension beyond
+    the reference — BASELINE config 4); aperture 0 is an exact pinhole.
+    """
 
     level: Raytracing = Raytracing.FALLBACK_RAYTRACED
     sample_count: int = 4
     bounces: int = 4
+    aperture: float = 0.0
+    focus_distance: float = 1.0
 
 
 @dataclasses.dataclass
@@ -68,13 +74,18 @@ class StandardMaterial:
     reflectance: float = 0.5
     ior: float = 1.5
     specular_transmission: float = 0.0
+    # Extension beyond the reference shading model (Bevy's StandardMaterial has
+    # `emissive` too, the reference just never reads it): linear-space radiance
+    # emitted on hit. (0,0,0) reproduces the reference exactly.
+    emissive: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     def to_record(self) -> np.ndarray:
-        """8-column float32 record with linearized base color (extract.rs:200-207)."""
+        """11-column float32 record with linearized base color (extract.rs:200-207,
+        columns 8-10 = emissive, already linear like Bevy's)."""
         r, g, b = (srgb_to_linear(float(c)) for c in self.base_color)
         return np.array(
             [r, g, b, self.metallic, self.perceptual_roughness, self.reflectance,
-             self.ior, self.specular_transmission],
+             self.ior, self.specular_transmission, *self.emissive],
             np.float32,
         )
 

@@ -109,7 +109,7 @@ class World:
         n = len(radii)
         centers = np.asarray(centers, np.float32).reshape(n, 3)
         radii = np.asarray(radii, np.float32)
-        mat_table = np.stack(mats, 0) if n else np.zeros((0, 8), np.float32)
+        mat_table = np.stack(mats, 0) if n else np.zeros((0, 11), np.float32)
         mat_ids = np.arange(n, dtype=np.int32)
         return centers, radii, mat_table, mat_ids
 
@@ -147,4 +147,6 @@ class World:
             near=f32(p.near),
             far=f32(p.far),
             aspect=f32(aspect if aspect is not None else p.aspect_ratio),
+            aperture=f32(self.camera.aperture),
+            focus_distance=f32(self.camera.focus_distance),
         )

@@ -71,7 +71,8 @@ def _raycast(origin, direction, centers, radii):
 
 def render_oracle(centers, radii, materials, camera, width, height,
                   samples_per_pixel, bounces, level, frame_seed,
-                  raster_color=(1.0, 1.0, 1.0), raster_depth=0.0):
+                  raster_color=(1.0, 1.0, 1.0), raster_depth=0.0,
+                  defocus=False, diffuse_sampling="reference"):
     """Render a full frame.
 
     ``camera``: dict with position, direction, up (3-vectors), fov, near, far,
@@ -117,10 +118,22 @@ def render_oracle(centers, radii, materials, camera, width, height,
                                + ndc_y * scale * up)
                 o = pos.copy()
 
+                if defocus:
+                    lu = _draw(stream, slots.LENS_U)
+                    lv = _draw(stream, slots.LENS_V)
+                    lens_radius = F(camera.get("aperture", 0.0)) * F(0.5)
+                    rr_ = lens_radius * np.sqrt(F(lu))
+                    th = F(2.0 * np.pi) * F(lv)
+                    focal = (o + F(camera.get("focus_distance", 1.0)) * d).astype(F)
+                    o = (o + rr_ * np.cos(th) * right
+                         + rr_ * np.sin(th) * up).astype(F)
+                    d = _normalize(focal - o)
+
                 # --- bounce loop (wgsl:174-224) ------------------------------
                 first_depth = F(INF)
                 ray_color = np.ones(3, F)
                 light = np.zeros(3, F)
+                radiance = np.zeros(3, F)
                 b = 0
                 while b <= bounces:
                     t, idx = _raycast(o, d, centers, radii)
@@ -131,6 +144,7 @@ def render_oracle(centers, radii, materials, camera, width, height,
                         a01 = F(0.5 * (unit[1] + 1.0))
                         light = ((1.0 - a01) * np.ones(3, F)
                                  + a01 * np.array([0.5, 0.7, 1.0], F)).astype(F)
+                        radiance = (radiance + ray_color * light).astype(F)
                         break
                     # hit info (wgsl:355-358)
                     hit_pos = (o + t * d).astype(F)
@@ -139,6 +153,8 @@ def render_oracle(centers, radii, materials, camera, width, height,
                     m = materials[idx]
                     base_color = m[0:3]
                     metallic, roughness, ior, spec_trans = m[3], m[4], m[6], m[7]
+                    if m.shape[0] > 8:
+                        radiance = (radiance + ray_color * m[8:11]).astype(F)
 
                     sbase = slots.bounce_base(b)
                     u_metal = _draw(stream, sbase + slots.S_METAL)
@@ -168,8 +184,11 @@ def render_oracle(centers, radii, materials, camera, width, height,
                     else:
                         # diffuse (wgsl:282-297)
                         ball1 = _ball(stream, sbase, slots.S_BALL1)
-                        ball2 = _ball(stream, sbase, slots.S_BALL2)
-                        new_d = (normal + ball1 + roughness * ball2).astype(F)
+                        if diffuse_sampling == "cosine":
+                            new_d = (normal + _normalize(ball1)).astype(F)
+                        else:
+                            ball2 = _ball(stream, sbase, slots.S_BALL2)
+                            new_d = (normal + ball1 + roughness * ball2).astype(F)
                         if (np.abs(new_d) < NEAR_ZERO).all():
                             new_d = normal
                         attenuation = base_color
@@ -181,12 +200,13 @@ def render_oracle(centers, radii, materials, camera, width, height,
                     o, d = hit_pos, new_d
                     b += 1
 
-                if b == bounces + 1:                      # exhausted (wgsl:215-217)
-                    ray_color = np.zeros(3, F)
                 if first_depth >= INF:
                     first_depth = fallback_far
 
-                sample = np.sqrt(np.maximum(ray_color * light, 0.0)).astype(F)
+                # Exhausted/absorbed rays never added sky light; their radiance
+                # holds only emissive hits — 0 in reference scenes, matching the
+                # reference's loop-exhaustion blackness (wgsl:215-217).
+                sample = np.sqrt(np.maximum(radiance, 0.0)).astype(F)
                 color_sum += sample
                 depth_sum += first_depth
 
@@ -212,5 +232,7 @@ def oracle_inputs_from_world(world):
     centers, radii, mat_table, _ = world.extract_host()
     t, p = world.camera_transform, world.projection
     camera = dict(position=t.translation, direction=t.forward, up=t.up,
-                  fov=p.fov, near=p.near, far=p.far, aspect=p.aspect_ratio)
+                  fov=p.fov, near=p.near, far=p.far, aspect=p.aspect_ratio,
+                  aperture=world.camera.aperture,
+                  focus_distance=world.camera.focus_distance)
     return centers, radii, mat_table, camera

@@ -40,6 +40,27 @@ def test_pallas_nonaligned_resolution():
                                atol=5e-5)
 
 
+def test_pallas_fast_rng_statistical():
+    """The hardware-PRNG path (rejection-sampled balls) must agree with the XLA
+    renderer statistically — same estimator, different random streams.
+
+    The hardware PRNG only exists on real TPUs; off-TPU render_tiles silently
+    falls back to the exact path, making this a (still useful) smoke test.
+    """
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=32, bounces=5,
+                       level=3)
+    want = Renderer(cfg).render(scene, cam, seed=5)
+    got = PallasRenderer(cfg, exact_rng=False).render(scene, cam, seed=5)
+    ig, iw = np.asarray(got.image), np.asarray(want.image)
+    assert np.isfinite(ig).all()
+    # Monte-Carlo noise at 32 spp ≈ few percent; means must agree much tighter.
+    assert np.abs(ig - iw).mean() < 0.02
+    assert abs(ig.mean() - iw.mean()) < 0.01
+
+
 def test_pallas_final_scene_many_spheres():
     """Multi-chunk sphere loop (508 spheres → 4 chunks of 128)."""
     world = rtiow.final_scene(seed=42)
