@@ -10,14 +10,17 @@ every bounce; this kernel is the fix.)
 
 Design notes (constraints/costs measured on TPU v5e by probing + ablation):
 
-- No dynamic scalar indexing of VMEM and no per-lane gathers → the sphere loop is a
-  *statically unrolled* walk over 128-wide sphere chunks, computing dense
-  ``(TILE_SUB, 128 rays, 128 spheres)`` pair blocks (pure full-width VPU work,
-  ~22 ns/ray·bounce for 512 spheres — near VPU speed of light).
-- Winning-sphere attributes are fetched with **one-hot MXU matmuls**. Small matmuls
-  dominate this cost, so all attributes (centers + materials, each split bf16
-  hi/lo for f32 accuracy — the MXU truncates inputs to bf16) live in ONE 24-row
-  table and ray rows are paired, giving 4 matmuls per bounce instead of 16.
+- The sphere loop streams one sphere at a time (scalars from SMEM) against
+  register-resident (TILE_SUB, 128) ray tiles. Dense [rays × spheres] pair
+  blocks were 4.7× SLOWER: each 512 KB intermediate exceeds the vector register
+  file, so every elementwise op streamed megabytes through the VMEM stack
+  (the kernel was memory-bound and completely insensitive to arithmetic
+  changes; 2× tile size hit Mosaic's 16 MB scoped-vmem limit outright).
+  No per-lane gathers and no dynamic VMEM indexing anywhere (neither lowers).
+- Winning-sphere attributes are fetched with **one-hot MXU matmuls**: all
+  attributes (centers + materials, each split bf16 hi/lo for f32 accuracy — the
+  MXU truncates inputs to bf16) live in ONE combined table, one matmul per ray
+  sublane-row against an (S, 128) one-hot (no sublane↔lane relayouts).
 - Mosaic's log/cos/sin lower very slowly (~36 ns/ray·bounce for two Box–Muller
   ball samples — more than the entire 512-sphere intersection), so the default
   RNG is the **hardware PRNG** (``pltpu.prng_*``) with fixed-K rejection sampling
@@ -222,48 +225,55 @@ class HwRngProvider:
         return part(0), part(1), part(2), ball1, ball2
 
 
-def _intersect_chunks(origin: Vec3, direction: Vec3, cx_ref, cy_ref, cz_ref, r_ref,
-                      n_chunks: int):
-    """Dense all-pairs nearest hit over statically unrolled 128-sphere chunks.
+def _intersect_scalar_loop(origin: Vec3, direction: Vec3, sph_ref, n_spheres: int,
+                           unroll: int = 4):
+    """Nearest hit by looping spheres one at a time against register-resident
+    (TILE_SUB, 128) ray tiles.
 
-    Pair blocks are (TILE_SUB, 128 rays, 128 spheres): the sphere chunk rides the
-    lane dimension, rays ride sublanes+leading — every op is full VPU width.
-    Semantics identical to kernels.intersect.intersect_spheres (near root only,
-    t > 0.001, nearest wins; zero radius marks padding).
+    The earlier design computed dense (TILE_SUB, 128 rays, 128 spheres) pair
+    blocks — full VPU width, but each 512 KB intermediate exceeds the vector
+    register file, so EVERY op streamed megabytes through the VMEM stack (the
+    kernel hit Mosaic's 16 MB scoped-vmem limit at 2× tile size, and wall time
+    was completely insensitive to arithmetic changes — memory-bound). Here each
+    sphere contributes ~15 ops on (8,128) vregs with all temps register-resident;
+    sphere scalars stream from SMEM (where dynamic scalar indexing is legal —
+    dynamic VMEM scalar reads crash this Mosaic version).
+
+    ``sph_ref``: SMEM (4, S) rows = cx, cy, cz, radius (0 marks padding).
+    Semantics identical to kernels.intersect.intersect_spheres.
     """
     a = direction.dot(direction)
     inv_a = 1.0 / a
-    ax = a[:, :, None]
-    inv_ax = inv_a[:, :, None]
-    ox, oy, oz = origin.x[:, :, None], origin.y[:, :, None], origin.z[:, :, None]
-    dx, dy, dz = (direction.x[:, :, None], direction.y[:, :, None],
-                  direction.z[:, :, None])
+    ox, oy, oz = origin.x, origin.y, origin.z
+    dx, dy, dz = direction.x, direction.y, direction.z
 
-    best_t = jnp.full((TILE_SUB, 128), INF, jnp.float32)
-    best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
-    for c in range(n_chunks):
-        sl = slice(c * SPHERE_CHUNK, (c + 1) * SPHERE_CHUNK)
-        ccx = cx_ref[0, sl][None, None, :]
-        ccy = cy_ref[0, sl][None, None, :]
-        ccz = cz_ref[0, sl][None, None, :]
-        cr = r_ref[0, sl][None, None, :]
-        ocx = ccx - ox
-        ocy = ccy - oy
-        ocz = ccz - oz
+    def one_sphere(s, best_t, best_i):
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        r = sph_ref[3, s]
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
         h = dx * ocx + dy * ocy + dz * ocz
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - cr * cr
-        disc = h * h - ax * cc
-        t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_ax
-        ok = (disc >= 0.0) & (t > T_MIN) & (cr > 0.0)
-        t = jnp.where(ok, t, INF)
-        # Nearest within chunk, lowest index on ties (match XLA argmin semantics).
-        ct = jnp.min(t, axis=2)
-        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2)
-        ci = jnp.min(jnp.where(t == ct[:, :, None], lane, SPHERE_CHUNK), axis=2)
-        take = ct < best_t
-        best_i = jnp.where(take, ci + c * SPHERE_CHUNK, best_i)
-        best_t = jnp.where(take, ct, best_t)
-    return best_t, best_i
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = h * h - a * cc
+        t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a
+        better = ((disc >= 0.0) & (t > T_MIN) & (r > 0.0) & (t < best_t))
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s, best_i)
+        return best_t, best_i
+
+    def body(k, carry):
+        best_t, best_i = carry
+        for j in range(unroll):   # amortize loop management over a few spheres
+            best_t, best_i = one_sphere(k * unroll + j, best_t, best_i)
+        return best_t, best_i
+
+    init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
+            jnp.full((TILE_SUB, 128), -1, jnp.int32))
+    assert n_spheres % unroll == 0
+    return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
@@ -291,11 +301,10 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     return center, mats
 
 
-def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref, attr_ref,
+def _render_kernel(cam_ref, seed_ref, sph_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
                    *, config: RenderConfig, n_spheres_padded: int, exact_rng: bool):
     tile_id = pl.program_id(0)
-    n_chunks = n_spheres_padded // SPHERE_CHUNK
 
     # ---- per-tile pixel coordinates -------------------------------------------
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 0)
@@ -359,8 +368,7 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref, attr_ref,
         def body(carry):
             b, o, d, ray_color, radiance, active_f, first_depth, segs = carry
             active = active_f > 0.0
-            t, idx = _intersect_chunks(o, d, cx_ref, cy_ref, cz_ref, r_ref,
-                                       n_chunks)
+            t, idx = _intersect_scalar_loop(o, d, sph_ref, n_spheres_padded)
             miss = t >= INF
             first_depth = jnp.where(b == 0, t, first_depth)
             radiance = Vec3.where(active & miss,
@@ -429,13 +437,10 @@ def _render_kernel(cam_ref, seed_ref, cx_ref, cy_ref, cz_ref, r_ref, attr_ref,
 
 
 class PallasScene(NamedTuple):
-    """Kernel-ready scene: sphere SoA rows + combined bf16x2 attribute table."""
+    """Kernel-ready scene: sphere scalar rows (SMEM) + bf16x2 attribute table."""
 
-    cx: jnp.ndarray       # (1, S) f32
-    cy: jnp.ndarray
-    cz: jnp.ndarray
-    radius: jnp.ndarray
-    attr: jnp.ndarray     # (N_ATTR, S) bf16: [c_hi(3), c_lo(3), m_hi(7+1), m_lo(7+1)]
+    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius (0 = padding)
+    attr: jnp.ndarray     # (N_ATTR, S) bf16: [c_hi(3), c_lo(3), m_hi, m_lo]
 
 
 def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
@@ -468,8 +473,8 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     if pad:
         attr = jnp.concatenate(
             [attr, jnp.zeros((pad, attr.shape[1]), jnp.bfloat16)], axis=0)
-    return PallasScene(cx=sp.cx[None, :], cy=sp.cy[None, :], cz=sp.cz[None, :],
-                       radius=radius[None, :], attr=attr)
+    sph = jnp.stack([sp.cx, sp.cy, sp.cz, radius], axis=0)
+    return PallasScene(sph=sph, attr=attr)
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):
@@ -497,7 +502,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     flat arrays plus the traced-segment count (f32 scalar)."""
     n = config.n_pixels
     n_tiles = -(-n // TILE)
-    s = pscene.cx.shape[1]
+    s = pscene.sph.shape[1]
     assert s % SPHERE_CHUNK == 0
 
     cam_row = _pack_camera(cam, config)
@@ -522,7 +527,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         in_specs=[
             pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            full((1, s)), full((1, s)), full((1, s)), full((1, s)),
+            pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
             full((N_ATTR, s)),
         ],
         out_specs=[tile_spec] * 5,
@@ -530,7 +535,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
         ] * 5,
         interpret=interpret,
-    )(cam_row, seed, pscene.cx, pscene.cy, pscene.cz, pscene.radius, pscene.attr)
+    )(cam_row, seed, pscene.sph, pscene.attr)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)
