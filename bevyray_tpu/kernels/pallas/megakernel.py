@@ -276,6 +276,86 @@ def _intersect_scalar_loop(origin: Vec3, direction: Vec3, sph_ref, n_spheres: in
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
+GROUP = 64   # spheres per cullable group (morton-ordered at scene prep)
+
+
+def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
+                       active, n_spheres: int, unroll: int = 4):
+    """Scalar-loop intersection with per-tile group culling.
+
+    Spheres are pre-sorted (scene prep) into GROUP-sized morton-ordered groups
+    with precomputed AABBs (``gaabb_ref``: SMEM (6, n_groups) = min xyz, max
+    xyz; inverted boxes mark padding groups). Before walking a group's spheres
+    the whole tile slab-tests the group box against its current best hits; a
+    group no live ray can improve in is skipped with a scalar branch — the
+    tile-level analog of BVH traversal, with zero divergence inside the VPU.
+    """
+    a = direction.dot(direction)
+    inv_a = 1.0 / a
+    ox, oy, oz = origin.x, origin.y, origin.z
+    dx, dy, dz = direction.x, direction.y, direction.z
+    idx = 1.0 / dx
+    idy = 1.0 / dy
+    idz = 1.0 / dz
+    active_f = jnp.where(active, 1.0, 0.0)
+
+    def one_sphere(s, best_t, best_i):
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        r = sph_ref[3, s]
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = h * h - a * cc
+        t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a
+        better = ((disc >= 0.0) & (t > T_MIN) & (r > 0.0) & (t < best_t))
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s, best_i)
+        return best_t, best_i
+
+    n_groups = n_spheres // GROUP
+
+    def group_body(g, carry):
+        best_t, best_i = carry
+        # Slab test of the whole ray tile vs this group's AABB (wgsl:387-398).
+        tx1 = (gaabb_ref[0, g] - ox) * idx
+        tx2 = (gaabb_ref[3, g] - ox) * idx
+        ty1 = (gaabb_ref[1, g] - oy) * idy
+        ty2 = (gaabb_ref[4, g] - oy) * idy
+        tz1 = (gaabb_ref[2, g] - oz) * idz
+        tz2 = (gaabb_ref[5, g] - oz) * idz
+        t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                         jnp.minimum(ty1, ty2)),
+                             jnp.minimum(tz1, tz2))
+        t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                        jnp.maximum(ty1, ty2)),
+                            jnp.maximum(tz1, tz2))
+        useful = ((t_far >= t_near) & (t_far > 0.0)
+                  & (t_near < best_t))   # box entry must beat the current hit
+        any_useful = jnp.max(jnp.where(useful, active_f, 0.0)) > 0.0
+
+        def walk(carry):
+            bt, bi = carry
+
+            def body(k, c2):
+                b2t, b2i = c2
+                for j in range(unroll):
+                    b2t, b2i = one_sphere(g * GROUP + k * unroll + j, b2t, b2i)
+                return b2t, b2i
+
+            return jax.lax.fori_loop(0, GROUP // unroll, body, (bt, bi))
+
+        return jax.lax.cond(any_useful, walk, lambda c: c, (best_t, best_i))
+
+    init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
+            jnp.full((TILE_SUB, 128), -1, jnp.int32))
+    assert n_spheres % GROUP == 0 and GROUP % unroll == 0
+    return jax.lax.fori_loop(0, n_groups, group_body, init)
+
+
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     """Winning-sphere attributes for every ray via one-hot MXU matmuls.
 
@@ -301,7 +381,7 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     return center, mats
 
 
-def _render_kernel(cam_ref, seed_ref, sph_ref, attr_ref,
+def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
                    *, config: RenderConfig, n_spheres_padded: int, exact_rng: bool):
     tile_id = pl.program_id(0)
@@ -368,7 +448,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, attr_ref,
         def body(carry):
             b, o, d, ray_color, radiance, active_f, first_depth, segs = carry
             active = active_f > 0.0
-            t, idx = _intersect_scalar_loop(o, d, sph_ref, n_spheres_padded)
+            t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
+                                        n_spheres_padded)
             miss = t >= INF
             first_depth = jnp.where(b == 0, t, first_depth)
             radiance = Vec3.where(active & miss,
@@ -437,10 +518,37 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, attr_ref,
 
 
 class PallasScene(NamedTuple):
-    """Kernel-ready scene: sphere scalar rows (SMEM) + bf16x2 attribute table."""
+    """Kernel-ready scene: sphere scalar rows (SMEM) + bf16x2 attribute table +
+    cullable group AABBs (spheres morton-sorted, oversized spheres quarantined
+    in the always-tested leading groups)."""
 
     sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius (0 = padding)
     attr: jnp.ndarray     # (N_ATTR, S) bf16: [c_hi(3), c_lo(3), m_hi, m_lo]
+    gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
+
+
+def _morton_key(x, y, z, radius, valid):
+    """Sort key: padding last, oversized spheres first (their AABBs would poison
+    any group's bound), the rest in 3×10-bit morton order."""
+    mins = jnp.stack([jnp.min(jnp.where(valid, v, jnp.inf))
+                      for v in (x, y, z)])
+    maxs = jnp.stack([jnp.max(jnp.where(valid, v, -jnp.inf))
+                      for v in (x, y, z)])
+    extent = jnp.maximum(jnp.max(maxs - mins), 1e-6)
+
+    def spread(v, lo):
+        q = jnp.clip((v - lo) / extent * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+        q = (q | (q << 16)) & 0x030000FF
+        q = (q | (q << 8)) & 0x0300F00F
+        q = (q | (q << 4)) & 0x030C30C3
+        q = (q | (q << 2)) & 0x09249249
+        return q
+
+    morton = (spread(x, mins[0]) | (spread(y, mins[1]) << 1)
+              | (spread(z, mins[2]) << 2))
+    big = radius > 0.25 * extent
+    key = jnp.where(big, morton - (1 << 30), morton)
+    return jnp.where(valid, key, jnp.int32(2**31 - 1))
 
 
 def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
@@ -451,6 +559,10 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     """
     sp = scene.spheres
     mt = scene.materials
+
+    order = jnp.argsort(_morton_key(sp.cx, sp.cy, sp.cz, sp.radius, sp.valid))
+    sp = type(sp)(*(leaf[order] for leaf in sp))
+
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
     radius = jnp.where(sp.valid, sp.radius, 0.0)
     center = jnp.stack([sp.cx, sp.cy, sp.cz], axis=0)
@@ -474,7 +586,25 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
         attr = jnp.concatenate(
             [attr, jnp.zeros((pad, attr.shape[1]), jnp.bfloat16)], axis=0)
     sph = jnp.stack([sp.cx, sp.cy, sp.cz, radius], axis=0)
-    return PallasScene(sph=sph, attr=attr)
+
+    # Conservative per-group AABBs over the sorted order: center ± radius.
+    # Padding lanes (radius 0) get inverted bounds so all-padding groups can
+    # never pass the slab test.
+    s = sph.shape[1]
+    n_groups = s // GROUP
+    live = radius > 0.0
+    mins = jnp.stack([jnp.where(live, c - radius, jnp.inf)
+                      for c in (sp.cx, sp.cy, sp.cz)])
+    maxs = jnp.stack([jnp.where(live, c + radius, -jnp.inf)
+                      for c in (sp.cx, sp.cy, sp.cz)])
+    gmin = jnp.min(mins.reshape(3, n_groups, GROUP), axis=2)
+    gmax = jnp.max(maxs.reshape(3, n_groups, GROUP), axis=2)
+    # Replace infinities (all-padding groups) with an inverted unit box.
+    empty = ~jnp.isfinite(gmin[0])
+    gmin = jnp.where(empty[None, :], 1.0, gmin)
+    gmax = jnp.where(empty[None, :], -1.0, gmax)
+    gaabb = jnp.concatenate([gmin, gmax], axis=0)
+    return PallasScene(sph=sph, attr=attr, gaabb=gaabb)
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):
@@ -528,6 +658,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, s // GROUP), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             full((N_ATTR, s)),
         ],
         out_specs=[tile_spec] * 5,
@@ -535,7 +667,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
         ] * 5,
         interpret=interpret,
-    )(cam_row, seed, pscene.sph, pscene.attr)
+    )(cam_row, seed, pscene.sph, pscene.gaabb, pscene.attr)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)
