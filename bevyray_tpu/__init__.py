@@ -15,15 +15,16 @@ from .core.types import CameraState, RenderConfig, SceneBuffers
 from .core.vec import Vec3
 from .engine.renderer import FrameResult, Renderer
 from .scene.components import (PerspectiveProjection, RaytracedCamera,
-                               RaytracedSphere, Raytracing, StandardMaterial,
-                               Transform)
+                               RaytracedMesh, RaytracedSphere, Raytracing,
+                               StandardMaterial, Transform, cube_mesh)
 from .scene.world import World
 from .scene import rtiow
 
 __all__ = [
     "CameraState", "FrameResult", "PerspectiveProjection", "RaytracedCamera",
-    "RaytracedSphere", "Raytracing", "RenderConfig", "Renderer", "SceneBuffers",
-    "StandardMaterial", "Transform", "Vec3", "World", "rtiow",
+    "RaytracedMesh", "RaytracedSphere", "Raytracing", "RenderConfig", "Renderer",
+    "SceneBuffers", "StandardMaterial", "Transform", "Vec3", "World", "cube_mesh",
+    "rtiow",
 ]
 
 __version__ = "0.1.0"

@@ -24,13 +24,16 @@ def _build_world(args):
     from ..scene.components import RaytracedCamera, Raytracing
 
     cam = RaytracedCamera(level=Raytracing(args.level), sample_count=args.spp,
-                          bounces=args.bounces)
+                          bounces=args.bounces, aperture=args.aperture,
+                          focus_distance=args.focus)
     if args.scene == "final":
         return rtiow.final_scene(seed=args.scene_seed, camera=cam)
     if args.scene == "simple":
         return rtiow.simple_scene(camera=cam)
     if args.scene == "material":
         return rtiow.material_test_scene(camera=cam)
+    if args.scene == "night":
+        return rtiow.night_scene(camera=cam)
     raise SystemExit(f"unknown scene {args.scene!r}")
 
 
@@ -40,7 +43,9 @@ def _config(args):
     backend = "auto" if args.backend == "pallas" else args.backend
     return RenderConfig(width=args.width, height=args.height,
                         samples_per_pixel=args.spp, bounces=args.bounces,
-                        level=args.level, intersect_backend=backend)
+                        level=args.level, intersect_backend=backend,
+                        defocus=args.aperture > 0.0,
+                        diffuse_sampling=args.diffuse_sampling)
 
 
 def _make_renderer(args, config):
@@ -134,7 +139,7 @@ def main(argv=None):
         s = sub.add_parser(name)
         s.set_defaults(fn=fn)
         s.add_argument("--scene", default="final",
-                       choices=["final", "simple", "material"])
+                       choices=["final", "simple", "material", "night"])
         s.add_argument("--scene-seed", type=int, default=42)
         s.add_argument("--width", type=int, default=1280)
         s.add_argument("--height", type=int, default=720)
@@ -144,6 +149,12 @@ def main(argv=None):
         s.add_argument("--seed", type=int, default=1)
         s.add_argument("--backend", default="auto",
                        choices=["auto", "brute", "bvh", "pallas"])
+        s.add_argument("--aperture", type=float, default=0.0,
+                       help="thin-lens diameter; >0 enables defocus blur")
+        s.add_argument("--focus", type=float, default=3.0,
+                       help="focus distance for defocus blur")
+        s.add_argument("--diffuse-sampling", default="reference",
+                       choices=["reference", "cosine"])
         s.add_argument("--out", default="frame.png")
         s.add_argument("--frames", type=int, default=8)
         s.add_argument("--passes", type=int, default=8)

@@ -67,6 +67,51 @@ class Materials(NamedTuple):
         return Vec3(self.base_r, self.base_g, self.base_b)
 
 
+class Triangles(NamedTuple):
+    """World-space triangle table (extension; the reference plans this layout at
+    extract.rs:211-212 / 239-248). SoA of vertex components, lane-padded."""
+
+    ax: jnp.ndarray
+    ay: jnp.ndarray
+    az: jnp.ndarray
+    bx: jnp.ndarray
+    by: jnp.ndarray
+    bz: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    cz: jnp.ndarray
+    material_id: jnp.ndarray  # i32
+    valid: jnp.ndarray        # bool
+
+    @property
+    def capacity(self) -> int:
+        return self.ax.shape[0]
+
+
+def make_triangles_np(verts_a: np.ndarray, verts_b: np.ndarray, verts_c: np.ndarray,
+                      material_ids: np.ndarray,
+                      capacity: Optional[int] = None) -> Triangles:
+    """[T,3] per-corner world-space vertex arrays → padded device table."""
+    n = verts_a.shape[0]
+    cap = capacity or pad_to(max(n, 1))
+
+    def pad_f(a):
+        out = np.full((cap,), 1e6, np.float32)
+        out[:n] = a.astype(np.float32)
+        return jnp.asarray(out)
+
+    mid = np.zeros((cap,), np.int32)
+    mid[:n] = material_ids.astype(np.int32)
+    valid = np.zeros((cap,), bool)
+    valid[:n] = True
+    return Triangles(
+        ax=pad_f(verts_a[:, 0]), ay=pad_f(verts_a[:, 1]), az=pad_f(verts_a[:, 2]),
+        bx=pad_f(verts_b[:, 0]), by=pad_f(verts_b[:, 1]), bz=pad_f(verts_b[:, 2]),
+        cx=pad_f(verts_c[:, 0]), cy=pad_f(verts_c[:, 1]), cz=pad_f(verts_c[:, 2]),
+        material_id=jnp.asarray(mid), valid=jnp.asarray(valid),
+    )
+
+
 class BvhNodes(NamedTuple):
     """Flattened BVH2 (reference ``BVHNode``: extract.rs:229-237, wgsl:79-87).
 
@@ -89,6 +134,7 @@ class SceneBuffers(NamedTuple):
     spheres: Spheres
     materials: Materials
     bvh: Optional[BvhNodes]
+    triangles: Optional[Triangles] = None
 
 
 class CameraState(NamedTuple):

@@ -124,9 +124,15 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
     def body(c: Carry) -> Carry:
         t, idx = intersect_fn(c.origin, c.direction)
         hit = make_hit_info(c.origin, c.direction, t, idx, scene.spheres)
+        if scene.triangles is not None:
+            from ..kernels.intersect import (intersect_triangles, merge_hits,
+                                             triangle_hit_info)
+            tt, ti = intersect_triangles(c.origin, c.direction, scene.triangles)
+            hit = merge_hits(hit, triangle_hit_info(c.origin, c.direction, tt, ti,
+                                                    scene.triangles))
 
         # First-hit depth for compositing (wgsl:193-195).
-        first_depth = jnp.where(c.bounce == 0, t, c.first_depth)
+        first_depth = jnp.where(c.bounce == 0, hit.t, c.first_depth)
 
         # Miss → pick up the sky (throughput × gradient) and terminate
         # (wgsl:198-201). Radiance accumulation generalizes the reference's

@@ -276,11 +276,11 @@ def _intersect_scalar_loop(origin: Vec3, direction: Vec3, sph_ref, n_spheres: in
     return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
 
 
-GROUP = 64   # spheres per cullable group (morton-ordered at scene prep)
+GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
 def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
-                       active, n_spheres: int, unroll: int = 4):
+                       active, n_spheres: int, unroll: int = 8):
     """Scalar-loop intersection with per-tile group culling.
 
     Spheres are pre-sorted (scene prep) into GROUP-sized morton-ordered groups

@@ -50,6 +50,40 @@ class RaytracedSphere:
     radius: float = 1.0
 
 
+@dataclasses.dataclass
+class RaytracedMesh:
+    """Triangle-mesh primitive (extension — the reference's own roadmap:
+    extract.rs:211-212 plans "transform matrix, triangle_start, triangle_count"
+    and a commented-out ModelBVHNode at extract.rs:239-248; BASELINE config 5).
+
+    ``vertices``: [V, 3] float, object space; ``indices``: [T, 3] int.
+    """
+
+    vertices: "np.ndarray"
+    indices: "np.ndarray"
+
+    @property
+    def n_triangles(self) -> int:
+        return int(np.asarray(self.indices).shape[0])
+
+
+def cube_mesh(size: float = 1.0) -> RaytracedMesh:
+    """The reference app's rasterized unit cube (main.rs:76-85) as 12 triangles,
+    centered at the origin, CCW-outward winding."""
+    h = size / 2.0
+    v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                  [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]], np.float32)
+    f = np.array([
+        [0, 2, 1], [0, 3, 2],   # -z
+        [4, 5, 6], [4, 6, 7],   # +z
+        [0, 1, 5], [0, 5, 4],   # -y
+        [3, 7, 6], [3, 6, 2],   # +y
+        [0, 4, 7], [0, 7, 3],   # -x
+        [1, 2, 6], [1, 6, 5],   # +x
+    ], np.int32)
+    return RaytracedMesh(vertices=v, indices=f)
+
+
 def srgb_to_linear(c: float) -> float:
     """sRGB EOTF, matching Bevy's ``Color::srgb(..).to_linear()`` (extract.rs:201)."""
     if c <= 0.04045:

@@ -97,6 +97,35 @@ def simple_scene(camera: RaytracedCamera | None = None) -> World:
     return world
 
 
+def night_scene(camera: RaytracedCamera | None = None) -> World:
+    """Emissive showcase (extension scene): glowing lamp spheres over a dark
+    floor — exercises the radiance-accumulation path (BASELINE config 4)."""
+    world = World()
+    world.set_camera(
+        Transform.from_xyz(0.0, 1.5, 7.0).looking_at((0.0, 1.0, 0.0)),
+        PerspectiveProjection(),
+        camera or RaytracedCamera(level=Raytracing.PURE, sample_count=32,
+                                  bounces=6),
+    )
+    world.spawn_sphere(Transform.from_xyz(0.0, -1000.0, 0.0), RaytracedSphere(1000.0),
+                       StandardMaterial(base_color=(0.45, 0.45, 0.5)))
+    world.spawn_sphere(Transform.from_xyz(-1.6, 0.8, 0.0), RaytracedSphere(0.8),
+                       StandardMaterial(base_color=(0.8, 0.3, 0.2)))
+    world.spawn_sphere(Transform.from_xyz(0.2, 0.7, 1.0), RaytracedSphere(0.7),
+                       StandardMaterial(base_color=(0.9, 0.9, 0.9), metallic=1.0,
+                                        perceptual_roughness=0.05))
+    world.spawn_sphere(Transform.from_xyz(1.9, 0.6, -0.4), RaytracedSphere(0.6),
+                       StandardMaterial(metallic=0.0, ior=1.5,
+                                        specular_transmission=1.0))
+    world.spawn_sphere(Transform.from_xyz(0.5, 2.8, -1.0), RaytracedSphere(0.5),
+                       StandardMaterial(base_color=(0, 0, 0),
+                                        emissive=(6.0, 5.2, 3.8)))
+    world.spawn_sphere(Transform.from_xyz(-2.5, 2.2, 1.5), RaytracedSphere(0.3),
+                       StandardMaterial(base_color=(0, 0, 0),
+                                        emissive=(1.5, 2.5, 6.0)))
+    return world
+
+
 def material_test_scene(camera: RaytracedCamera | None = None) -> World:
     """BASELINE config 2: metal + dielectric materials (fuzz, Schlick refraction)."""
     world = World()

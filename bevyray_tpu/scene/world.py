@@ -15,10 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import (CameraState, SceneBuffers, make_materials_np,
-                          make_spheres_np, pad_to)
+                          make_spheres_np, make_triangles_np, pad_to)
 from ..core.vec import Vec3
-from .components import (PerspectiveProjection, RaytracedCamera, RaytracedSphere,
-                         StandardMaterial, Transform)
+from .components import (PerspectiveProjection, RaytracedCamera, RaytracedMesh,
+                         RaytracedSphere, StandardMaterial, Transform)
 
 
 class World:
@@ -34,6 +34,7 @@ class World:
         self._spheres: List[RaytracedSphere] = []
         self._materials: List[StandardMaterial] = []
         self._alive: List[bool] = []
+        self._meshes: List[tuple] = []   # (Transform, RaytracedMesh, material, alive)
         self.camera_transform: Transform = Transform.from_xyz(0.0, 0.0, 5.0).looking_at((0.0, 0.0, 0.0))
         self.projection = PerspectiveProjection()
         self.camera = RaytracedCamera()
@@ -50,6 +51,20 @@ class World:
         self._alive.append(True)
         self._touch()
         return eid
+
+    def spawn_mesh(self, transform: Transform, mesh: RaytracedMesh,
+                   material: StandardMaterial) -> int:
+        """Triangle-mesh entity (extension; reference roadmap extract.rs:211-212).
+        Mesh entity ids live in a separate namespace from spheres."""
+        mid = len(self._meshes)
+        self._meshes.append((transform, mesh, material, True))
+        self._touch()
+        return mid
+
+    def despawn_mesh(self, mid: int) -> None:
+        t, m, mat, _ = self._meshes[mid]
+        self._meshes[mid] = (t, m, mat, False)
+        self._touch()
 
     def despawn(self, eid: int) -> None:
         self._alive[eid] = False
@@ -113,6 +128,30 @@ class World:
         mat_ids = np.arange(n, dtype=np.int32)
         return centers, radii, mat_table, mat_ids
 
+    def extract_meshes_host(self, first_material_id: int):
+        """Flatten live meshes to world-space corner arrays + material records.
+
+        World-space = object vertices + translation (the reference extracts
+        translation only for primitives too, extract.rs:173-178)."""
+        a, b, c, mids, mats = [], [], [], [], []
+        next_mid = first_material_id
+        for t, mesh, mat, alive in self._meshes:
+            if not alive:
+                continue
+            v = np.asarray(mesh.vertices, np.float32) + np.asarray(
+                t.translation, np.float32)
+            f = np.asarray(mesh.indices, np.int32)
+            a.append(v[f[:, 0]])
+            b.append(v[f[:, 1]])
+            c.append(v[f[:, 2]])
+            mids.append(np.full(f.shape[0], next_mid, np.int32))
+            mats.append(mat.to_record())
+            next_mid += 1
+        if not a:
+            return None
+        return (np.concatenate(a), np.concatenate(b), np.concatenate(c),
+                np.concatenate(mids), np.stack(mats, 0))
+
     def extract(self, capacity: Optional[int] = None, with_bvh: bool = True) -> SceneBuffers:
         """Build (or fetch cached) device scene buffers."""
         key = (self._revision, capacity, with_bvh)
@@ -123,14 +162,24 @@ class World:
         centers, radii, mat_table, mat_ids = self.extract_host()
         cap = capacity or pad_to(max(len(radii), 1))
         spheres = make_spheres_np(centers, radii, mat_ids, cap)
-        materials = make_materials_np(mat_table, cap)
+
+        triangles = None
+        mesh_data = self.extract_meshes_host(first_material_id=len(radii))
+        if mesh_data is not None:
+            va, vb, vc, tri_mids, tri_mats = mesh_data
+            triangles = make_triangles_np(va, vb, vc, tri_mids)
+            mat_table = np.concatenate([mat_table, tri_mats], axis=0)
+
+        materials = make_materials_np(
+            mat_table, pad_to(max(mat_table.shape[0], cap, 1)))
 
         bvh = None
         if with_bvh and len(radii) > 0:
             from ..bvh import build_scene_bvh  # lazy: avoids import cycle
             bvh = build_scene_bvh(centers, radii)
 
-        scene = SceneBuffers(spheres=spheres, materials=materials, bvh=bvh)
+        scene = SceneBuffers(spheres=spheres, materials=materials, bvh=bvh,
+                             triangles=triangles)
         self._extract_cache["scene"] = (key, scene)
         return scene
 
