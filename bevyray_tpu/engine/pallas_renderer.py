@@ -57,10 +57,6 @@ class PallasRenderer:
         self._pscene_cache = None
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:
-        if scene.triangles is not None:
-            raise NotImplementedError(
-                "the Pallas megakernel does not trace triangle meshes yet — "
-                "use engine.Renderer (the XLA path) for scenes with meshes")
         key = tuple(id(leaf) for leaf in jax.tree.leaves(scene.spheres))
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
             return self._pscene_cache[1]

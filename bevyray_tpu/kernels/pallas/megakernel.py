@@ -51,7 +51,7 @@ from ..composite import background_gradient, linear_to_gamma
 from ..intersect import HitInfo, MaterialLanes
 from ..shade import scatter
 
-TILE_SUB = 8           # sublanes per tile
+TILE_SUB = 16          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
 SPHERE_CHUNK = 128     # spheres per pair block (lane dim)
 BALL_REJECT_K = 6      # fixed rejection tries for hardware-RNG ball sampling
@@ -356,6 +356,55 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
     return jax.lax.fori_loop(0, n_groups, group_body, init)
 
 
+def _intersect_triangles_scalar(origin: Vec3, direction: Vec3, tri_ref,
+                                n_tris: int, index_offset: int, best_t, best_i,
+                                unroll: int = 4):
+    """Brute scalar loop over triangles (Möller–Trumbore), same
+    register-resident style as the sphere loop. ``tri_ref``: SMEM (10, T) rows =
+    ax..cz, valid(>0). Winner indices are offset past the sphere table so the
+    combined attribute gather resolves them."""
+    ox, oy, oz = origin.x, origin.y, origin.z
+    dx, dy, dz = direction.x, direction.y, direction.z
+
+    def one_tri(s, best_t, best_i):
+        ax_, ay_, az_ = tri_ref[0, s], tri_ref[1, s], tri_ref[2, s]
+        e1x = tri_ref[3, s] - ax_
+        e1y = tri_ref[4, s] - ay_
+        e1z = tri_ref[5, s] - az_
+        e2x = tri_ref[6, s] - ax_
+        e2y = tri_ref[7, s] - ay_
+        e2z = tri_ref[8, s] - az_
+        valid = tri_ref[9, s]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = px * e1x + py * e1y + pz * e1z
+        inv_det = 1.0 / det
+        tx = ox - ax_
+        ty = oy - ay_
+        tz = oz - az_
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        better = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > T_MIN) & (valid > 0.0) & (t < best_t))
+        best_t = jnp.where(better, t, best_t)
+        best_i = jnp.where(better, s + index_offset, best_i)
+        return best_t, best_i
+
+    def body(k, carry):
+        bt, bi = carry
+        for j in range(unroll):
+            bt, bi = one_tri(k * unroll + j, bt, bi)
+        return bt, bi
+
+    assert n_tris % unroll == 0
+    return jax.lax.fori_loop(0, n_tris // unroll, body, (best_t, best_i))
+
+
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     """Winning-sphere attributes for every ray via one-hot MXU matmuls.
 
@@ -381,9 +430,10 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     return center, mats
 
 
-def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, attr_ref,
+def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
-                   *, config: RenderConfig, n_spheres_padded: int, exact_rng: bool):
+                   *, config: RenderConfig, n_spheres_padded: int,
+                   n_tris_padded: int, exact_rng: bool):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -450,6 +500,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, attr_ref,
             active = active_f > 0.0
             t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
                                         n_spheres_padded)
+            if n_tris_padded:
+                t, idx = _intersect_triangles_scalar(
+                    o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
             miss = t >= INF
             first_depth = jnp.where(b == 0, t, first_depth)
             radiance = Vec3.where(active & miss,
@@ -457,10 +510,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, attr_ref,
                                   radiance)
             active_hit = active & ~miss
 
-            center, mats = _gather_attrs(idx, attr_table, n_spheres_padded)
+            center, mats = _gather_attrs(idx, attr_table,
+                                         n_spheres_padded + n_tris_padded)
             safe_t = jnp.where(miss, 0.0, t)
             position = o + d.scale(safe_t)
-            normal = (position - center).normalize()
+            # Rows 0-2 of the attr table hold the sphere CENTER for spheres and
+            # the precomputed unit NORMAL for triangles.
+            sphere_normal = (position - center).normalize()
+            if n_tris_padded:
+                is_tri = idx >= n_spheres_padded
+                normal = Vec3.where(is_tri, center, sphere_normal)
+            else:
+                normal = sphere_normal
             normal = Vec3.where(miss, Vec3.full((), 0.0, 1.0, 0.0), normal)
             hit = HitInfo(t=t, miss=miss, position=position, normal=normal,
                           material_id=idx, front_face=d.dot(normal) < 0.0)
@@ -520,11 +581,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, attr_ref,
 class PallasScene(NamedTuple):
     """Kernel-ready scene: sphere scalar rows (SMEM) + bf16x2 attribute table +
     cullable group AABBs (spheres morton-sorted, oversized spheres quarantined
-    in the always-tested leading groups)."""
+    in the always-tested leading groups) + optional triangle rows.
+
+    The attribute table covers the combined primitive index space [spheres |
+    triangles]; rows 0-2(+lo 3-5) hold sphere centers / triangle unit normals.
+    """
 
     sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius (0 = padding)
-    attr: jnp.ndarray     # (N_ATTR, S) bf16: [c_hi(3), c_lo(3), m_hi, m_lo]
+    attr: jnp.ndarray     # (N_ATTR, S+T) bf16: [c|n hi(3), c|n lo(3), m_hi, m_lo]
     gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
+    tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
 
 
 def _morton_key(x, y, z, radius, valid):
@@ -552,7 +618,8 @@ def _morton_key(x, y, z, radius, valid):
 
 
 def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
-    """Resolve material indirection to a dense per-sphere table and split bf16x2.
+    """Resolve material indirection to a dense per-primitive table and split
+    bf16x2.
 
     Runs once per scene revision (jit-cached by shapes); the reference re-uploads
     equivalent tables every frame (extract.rs:334-336) — here they persist.
@@ -566,12 +633,35 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
     radius = jnp.where(sp.valid, sp.radius, 0.0)
     center = jnp.stack([sp.cx, sp.cy, sp.cz], axis=0)
-    mat = jnp.stack([
-        mt.base_r[mid], mt.base_g[mid], mt.base_b[mid],
-        mt.metallic[mid], mt.roughness[mid], mt.ior[mid],
-        mt.specular_transmission[mid],
-        mt.emissive_r[mid], mt.emissive_g[mid], mt.emissive_b[mid],
-    ], axis=0)
+
+    def mat_rows(ids):
+        return jnp.stack([
+            mt.base_r[ids], mt.base_g[ids], mt.base_b[ids],
+            mt.metallic[ids], mt.roughness[ids], mt.ior[ids],
+            mt.specular_transmission[ids],
+            mt.emissive_r[ids], mt.emissive_g[ids], mt.emissive_b[ids],
+        ], axis=0)
+
+    mat = mat_rows(mid)
+
+    tr = scene.triangles
+    if tr is not None:
+        a = Vec3(tr.ax, tr.ay, tr.az)
+        b = Vec3(tr.bx, tr.by, tr.bz)
+        c = Vec3(tr.cx, tr.cy, tr.cz)
+        tri_normal = (b - a).cross(c - a).normalize()
+        tri_normal = Vec3.where(tr.valid, tri_normal,
+                                Vec3.full((), 0.0, 1.0, 0.0))
+        tmid = jnp.clip(tr.material_id, 0, mt.capacity - 1)
+        center = jnp.concatenate(
+            [center, jnp.stack([tri_normal.x, tri_normal.y, tri_normal.z], 0)],
+            axis=1)
+        mat = jnp.concatenate([mat, mat_rows(tmid)], axis=1)
+        tri = jnp.stack([tr.ax, tr.ay, tr.az, tr.bx, tr.by, tr.bz,
+                         tr.cx, tr.cy, tr.cz,
+                         jnp.where(tr.valid, 1.0, 0.0)], axis=0)
+    else:
+        tri = jnp.zeros((10, 0), jnp.float32)
 
     def hi_lo(x):
         hi = x.astype(jnp.bfloat16)
@@ -604,7 +694,7 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     gmin = jnp.where(empty[None, :], 1.0, gmin)
     gmax = jnp.where(empty[None, :], -1.0, gmax)
     gaabb = jnp.concatenate([gmin, gmax], axis=0)
-    return PallasScene(sph=sph, attr=attr, gaabb=gaabb)
+    return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri)
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):
@@ -633,6 +723,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     n = config.n_pixels
     n_tiles = -(-n // TILE)
     s = pscene.sph.shape[1]
+    n_tris = pscene.tri.shape[1]
     assert s % SPHERE_CHUNK == 0
 
     cam_row = _pack_camera(cam, config)
@@ -646,12 +737,12 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     if interpret:
         exact_rng = True
     kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s,
-                               exact_rng=exact_rng)
+                               n_tris_padded=n_tris, exact_rng=exact_rng)
     tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    outs_fn = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -660,14 +751,19 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((6, s // GROUP), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            full((N_ATTR, s)),
+            pl.BlockSpec((10, max(n_tris, 1)), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            full((N_ATTR, s + n_tris)),
         ],
         out_specs=[tile_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
         ] * 5,
         interpret=interpret,
-    )(cam_row, seed, pscene.sph, pscene.gaabb, pscene.attr)
+    )
+    tri_in = (pscene.tri if n_tris
+              else jnp.zeros((10, 1), jnp.float32))
+    outs = outs_fn(cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)
