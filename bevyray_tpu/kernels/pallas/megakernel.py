@@ -51,7 +51,7 @@ from ..composite import background_gradient, linear_to_gamma
 from ..intersect import HitInfo, MaterialLanes
 from ..shade import scatter
 
-TILE_SUB = 16          # sublanes per tile
+TILE_SUB = 32          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
 SPHERE_CHUNK = 128     # spheres per pair block (lane dim)
 BALL_REJECT_K = 6      # fixed rejection tries for hardware-RNG ball sampling
