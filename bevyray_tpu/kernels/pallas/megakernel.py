@@ -433,13 +433,17 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
 def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
                    *, config: RenderConfig, n_spheres_padded: int,
-                   n_tris_padded: int, exact_rng: bool):
+                   n_tris_padded: int, exact_rng: bool, normalize: bool = True):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
+    # seed_ref row: [frame_seed, pixel_offset, sample_offset, _] — the offsets
+    # are nonzero when this kernel renders one shard of a multi-chip frame.
+    pixel_offset = seed_ref[0, 1].astype(jnp.int32)
+    sample_offset = seed_ref[0, 2]
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 1)
-    pixel_index = tile_id * TILE + sub * 128 + lane
+    pixel_index = pixel_offset + tile_id * TILE + sub * 128 + lane
     width_f = cam_ref[0, C_WIDTH]
     width_i = width_f.astype(jnp.int32)
     px = pixel_index % width_i
@@ -463,6 +467,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
     def trace_one_sample(sample_idx):
         """One sample for every ray in the tile (wgsl raytrace(), :174-224)."""
+        sample_idx = sample_idx.astype(jnp.uint32) + sample_offset
         if exact_rng:
             provider = ExactRngProvider(pixel_index, sample_idx, frame_seed)
         else:
@@ -570,7 +575,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         0, config.samples_per_pixel, sample_body,
         (zero2, zero2, zero2, zero2, zero2))
 
-    inv_spp = np.float32(1.0 / config.samples_per_pixel)
+    inv_spp = (np.float32(1.0 / config.samples_per_pixel) if normalize
+               else np.float32(1.0))
     out_r_ref[0] = cr * inv_spp
     out_g_ref[0] = cg * inv_spp
     out_b_ref[0] = cb * inv_spp
@@ -717,17 +723,24 @@ def _pack_camera(cam: CameraState, config: RenderConfig):
 
 
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
-                 frame_seed, exact_rng: bool = False):
-    """Run the megakernel over the frame. Returns (r, g, b, depth) as [N_padded]
-    flat arrays plus the traced-segment count (f32 scalar)."""
-    n = config.n_pixels
+                 frame_seed, exact_rng: bool = False, pixel_offset=0,
+                 sample_offset=0, n_pixels_local=None, normalize: bool = True):
+    """Run the megakernel over the frame (or one shard of it when
+    ``pixel_offset``/``n_pixels_local``/``sample_offset`` describe a slice of a
+    multi-chip frame). Returns (r, g, b, depth) as [N_padded] flat arrays plus
+    the traced-segment count (f32 scalar); with ``normalize=False`` color/depth
+    come back as sample SUMS for a cross-device psum."""
+    n = n_pixels_local if n_pixels_local is not None else config.n_pixels
     n_tiles = -(-n // TILE)
     s = pscene.sph.shape[1]
     n_tris = pscene.tri.shape[1]
     assert s % SPHERE_CHUNK == 0
 
     cam_row = _pack_camera(cam, config)
-    seed = jnp.asarray(frame_seed, jnp.uint32).reshape(1, 1)
+    seed = jnp.stack([jnp.asarray(frame_seed, jnp.uint32),
+                      jnp.asarray(pixel_offset, jnp.uint32),
+                      jnp.asarray(sample_offset, jnp.uint32),
+                      jnp.uint32(0)]).reshape(1, 4)
 
     grid = (n_tiles,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
@@ -737,7 +750,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     if interpret:
         exact_rng = True
     kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s,
-                               n_tris_padded=n_tris, exact_rng=exact_rng)
+                               n_tris_padded=n_tris, exact_rng=exact_rng,
+                               normalize=normalize)
     tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -747,7 +761,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((6, s // GROUP), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -23,6 +23,7 @@ nor routed experts; SURVEY.md §2 records that none exist in the reference eithe
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -179,3 +180,84 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
 def make_sharded_step(mesh: Mesh, config: RenderConfig):
     """Compile (once per mesh×config) the SPMD frame step."""
     return _sharded_step_cached(mesh, config)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip megakernel: the fused Pallas kernel runs per device inside
+# shard_map — pixel rows over sp, samples over dp (one psum). The tp
+# (sphere-table) axis stays exclusive to the XLA path, whose intersection can
+# reduce partial hits across devices; the megakernel keeps its whole (small)
+# scene in SMEM/VMEM instead.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
+    from ..kernels.pallas.megakernel import TILE, prepare_pallas_scene, render_tiles
+
+    sp, dp, tp = (mesh.shape[a] for a in AXES)
+    if tp != 1:
+        raise ValueError("the megakernel multi-chip path supports sp/dp axes "
+                         "only; use the XLA sharded step for tp sphere sharding")
+    n = config.n_pixels
+    n_padded = -(-n // (sp * TILE)) * (sp * TILE)
+    n_local = n_padded // sp
+    if config.samples_per_pixel % dp != 0:
+        raise ValueError(f"spp {config.samples_per_pixel} must divide dp={dp}")
+    local_spp = config.samples_per_pixel // dp
+    local_config = dataclasses.replace(config, samples_per_pixel=local_spp)
+
+    def body(pscene, cam, frame_seed, raster_color, raster_depth):
+        sp_i = jax.lax.axis_index("sp")
+        dp_i = jax.lax.axis_index("dp")
+        r, g, b, depth, segs = render_tiles(
+            pscene, cam, local_config, frame_seed,
+            pixel_offset=(sp_i * n_local).astype(jnp.uint32),
+            sample_offset=(dp_i * local_spp).astype(jnp.uint32),
+            n_pixels_local=n_local, normalize=False)
+        # Merge partial sample sums across dp; segments across everything.
+        r, g, b, depth = (jax.lax.psum(x, "dp") for x in (r, g, b, depth))
+        segs = jax.lax.psum(jax.lax.psum(segs, "dp"), "sp")
+        inv_spp = np.float32(1.0 / config.samples_per_pixel)
+        rt_color = Vec3(r * inv_spp, g * inv_spp, b * inv_spp)
+        rt_depth = depth * inv_spp
+        out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
+                        raster_color, raster_depth)
+        img = jnp.stack([jnp.broadcast_to(out.x, (n_local,)),
+                         jnp.broadcast_to(out.y, (n_local,)),
+                         jnp.broadcast_to(out.z, (n_local,))], axis=-1)
+        return img, rt_depth, segs
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P("sp"), P("sp"), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(scene, cam, frame_seed, raster_color, raster_depth):
+        pscene = prepare_pallas_scene(scene)
+        img, rt_depth, segs = sharded(pscene, cam, frame_seed, raster_color,
+                                      raster_depth)
+        img = img[:n]
+        rt_depth = rt_depth[:n]
+        return FrameResult(
+            image=img.reshape(config.height, config.width, 3),
+            rt_depth=rt_depth.reshape(config.height, config.width),
+            rays_traced=segs)
+
+    return step
+
+
+def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraState,
+                                config: RenderConfig, frame_seed,
+                                raster_color: Optional[Vec3] = None,
+                                raster_depth=None) -> FrameResult:
+    """Render one frame with the fused megakernel running SPMD over an
+    (sp, dp, 1) mesh."""
+    step = _pallas_sharded_step_cached(mesh, config)
+    if raster_color is None:
+        raster_color = Vec3.splat(jnp.float32(1.0))
+    if raster_depth is None:
+        raster_depth = jnp.float32(0.0)
+    return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth)

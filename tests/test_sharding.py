@@ -45,6 +45,34 @@ def test_sharded_hybrid_level(world_and_scene):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (4, 2, 1), (1, 4, 1)])
+def test_sharded_megakernel_matches_single_device(world_and_scene, mesh_shape):
+    """The fused Pallas kernel inside shard_map (sp pixel rows, dp samples) must
+    reproduce the single-device megakernel exactly (exact-RNG interpret mode)."""
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
+
+    _, scene, cam = world_and_scene
+    sp, dp, tp = mesh_shape
+    mesh = make_mesh(sp, dp, tp)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=4, bounces=3, level=3)
+    want = np.asarray(PallasRenderer(cfg).render(scene, cam, seed=5).image)
+    got = np.asarray(render_frame_sharded_pallas(mesh, scene, cam, cfg,
+                                                 frame_seed=5).image)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sharded_megakernel_rejects_tp():
+    from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=2, level=3)
+    with pytest.raises(ValueError, match="sp/dp"):
+        render_frame_sharded_pallas(make_mesh(2, 2, 2), scene, cam, cfg, 1)
+
+
 def test_default_mesh_shape():
     assert default_mesh_shape(8) == (2, 2, 2)
     assert default_mesh_shape(4) == (2, 2, 1)
