@@ -90,7 +90,8 @@ def cmd_accumulate(args):
     config = _config(args)
     scene = world.extract(with_bvh=(args.backend == "bvh"))
     cam = world.camera_state(aspect=args.width / args.height)
-    prog = ProgressiveRenderer(config)
+    prog = ProgressiveRenderer(
+        config, backend="pallas" if args.backend == "pallas" else "xla")
     frame = None
     for i in range(args.passes):
         frame = prog.step(scene, cam, seed=args.seed + i)

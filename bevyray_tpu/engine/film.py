@@ -108,17 +108,46 @@ def _jitted_resolve(config: RenderConfig):
     return jax.jit(functools.partial(resolve_impl, config=config))
 
 
+def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
+                           config: RenderConfig, frame_seed, sample_offset) -> Film:
+    """Megakernel-backed accumulation: one fused kernel pass traces
+    ``config.samples_per_pixel`` fresh samples (offset so streams never repeat)
+    and returns SUMS that fold into the film."""
+    from ..kernels.pallas.megakernel import render_tiles
+
+    n = config.n_pixels
+    r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
+                                        sample_offset=sample_offset,
+                                        normalize=False)
+    return Film(color_sum=film.color_sum + Vec3(r[:n], g[:n], b[:n]),
+                depth_sum=film.depth_sum + depth[:n],
+                n_samples=film.n_samples + config.samples_per_pixel,
+                rays_traced=film.rays_traced + segs)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_pallas_accumulate(config: RenderConfig):
+    return jax.jit(functools.partial(pallas_accumulate_impl, config=config),
+                   donate_argnames=("film",))
+
+
 class ProgressiveRenderer:
     """Accumulating front-end: call ``step`` repeatedly; the estimate refines.
 
     The film auto-resets when the camera pose/projection changes (compared on
-    host — camera state is a handful of scalars).
+    host — camera state is a handful of scalars). ``backend="pallas"`` runs each
+    pass through the fused megakernel (hardware RNG on TPU).
     """
 
-    def __init__(self, config: RenderConfig):
+    def __init__(self, config: RenderConfig, backend: str = "xla"):
         self.config = config
+        self.backend = backend
         self.film = new_film(config)
-        self._accumulate = _jitted_accumulate(config)
+        if backend == "pallas":
+            self._accumulate = _jitted_pallas_accumulate(config)
+            self._prepare_cache = None
+        else:
+            self._accumulate = _jitted_accumulate(config)
         self._resolve = _jitted_resolve(config)
         self._last_cam_key = None
         self._sample_offset = 0
@@ -138,10 +167,21 @@ class ProgressiveRenderer:
         if key != self._last_cam_key:
             self.reset()
             self._last_cam_key = key
-        self.film = self._accumulate(
-            film=self.film, scene=scene, cam=cam,
-            frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
-            sample_offset=jnp.uint32(self._sample_offset))
+        if self.backend == "pallas":
+            from ..kernels.pallas.megakernel import prepare_pallas_scene
+
+            sid = tuple(id(x) for x in jax.tree.leaves(scene.spheres))
+            if self._prepare_cache is None or self._prepare_cache[0] != sid:
+                self._prepare_cache = (sid, jax.jit(prepare_pallas_scene)(scene))
+            self.film = self._accumulate(
+                film=self.film, pscene=self._prepare_cache[1], cam=cam,
+                frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
+                sample_offset=jnp.uint32(self._sample_offset))
+        else:
+            self.film = self._accumulate(
+                film=self.film, scene=scene, cam=cam,
+                frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
+                sample_offset=jnp.uint32(self._sample_offset))
         self._sample_offset += self.config.samples_per_pixel
         if raster_color is None:
             raster_color = Vec3.splat(jnp.float32(1.0))

@@ -61,3 +61,21 @@ def test_variance_decreases_with_accumulation():
     err_first = np.abs(first - ref).mean()
     err_last = np.abs(last - ref).mean()
     assert err_last < err_first
+
+
+def test_pallas_progressive_matches_xla_backend():
+    """Megakernel-backed accumulation (exact RNG in interpret) must match the
+    XLA-backend film pass for pass."""
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=24, height=24, samples_per_pixel=2, bounces=3, level=3)
+
+    a = ProgressiveRenderer(cfg, backend="xla")
+    b = ProgressiveRenderer(cfg, backend="pallas")
+    for i in range(3):
+        fa = a.step(scene, cam, seed=9)
+        fb = b.step(scene, cam, seed=9)
+    assert a.samples_accumulated == b.samples_accumulated == 6
+    np.testing.assert_allclose(np.asarray(fb.image), np.asarray(fa.image),
+                               atol=5e-5)
