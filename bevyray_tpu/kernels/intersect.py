@@ -67,10 +67,13 @@ def intersect_spheres(origin: Vec3, direction: Vec3, spheres: Spheres,
         t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a[:, None]  # wgsl:382
         ok = (disc >= 0.0) & (t > T_MIN) & cvalid[None, :]          # wgsl:353
         t = jnp.where(ok, t, INF)
-        ci = jnp.argmin(t, axis=1)
-        ct = jnp.take_along_axis(t, ci[:, None], axis=1)[:, 0]
+        # min + masked index-min instead of argmin + take_along_axis: both fuse
+        # into the same reduction pass and avoid a per-ray gather.
+        ct = jnp.min(t, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        ci = jnp.min(jnp.where(t == ct[:, None], lane, t.shape[1]), axis=1)
         take_new = ct < best_t                                      # wgsl:354
-        best_i = jnp.where(take_new, cbase + ci.astype(jnp.int32), best_i)
+        best_i = jnp.where(take_new, cbase + ci, best_i)
         best_t = jnp.where(take_new, ct, best_t)
         return (best_t, best_i), None
 
