@@ -3,4 +3,5 @@
 Replaces the reference's `obvhs` Rust crate (extract.rs:12,316-321).
 """
 
-from .build import build_scene_bvh  # noqa: F401
+from .build import (build_bvh_from_aabbs, build_scene_bvh,  # noqa: F401
+                    build_triangle_bvh)

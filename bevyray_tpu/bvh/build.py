@@ -169,17 +169,46 @@ def flatten_tree(node_min, node_max, left, right, prim, root):
     return out_min, out_max, out_index, out_count
 
 
-def build_scene_bvh(centers: np.ndarray, radii: np.ndarray,
-                    capacity: int | None = None) -> BvhNodes:
-    """centers [N,3], radii [N] → padded device-resident flat BVH."""
+def triangle_aabbs(va: np.ndarray, vb: np.ndarray,
+                   vc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-triangle bounds from [T,3] corner arrays (tiny epsilon inflation for
+    axis-aligned triangles whose boxes would be degenerate)."""
+    bmin = np.minimum(np.minimum(va, vb), vc).astype(np.float32) - 1e-4
+    bmax = np.maximum(np.maximum(va, vb), vc).astype(np.float32) + 1e-4
+    return bmin, bmax
+
+
+def build_bvh_from_aabbs(bmin: np.ndarray, bmax: np.ndarray,
+                         capacity: int | None = None) -> BvhNodes:
+    """Generic entry: PLOC over arbitrary leaf AABBs (native with NumPy
+    fallback), flattened to the reference node ABI."""
     from . import native  # lazy; falls back silently if the .so isn't built
-    bmin, bmax = sphere_aabbs(centers, radii)
     built = native.build_ploc_native(bmin, bmax, SEARCH_RADIUS)
     if built is None:
         built = build_ploc_np(bmin, bmax)
     node_min, node_max, left, right, prim, root = built
-    fmin, fmax, index, count = flatten_tree(node_min, node_max, left, right, prim, root)
+    fmin, fmax, index, count = flatten_tree(node_min, node_max, left, right,
+                                            prim, root)
+    return _pack_nodes(fmin, fmax, index, count, capacity)
 
+
+def build_triangle_bvh(va: np.ndarray, vb: np.ndarray, vc: np.ndarray,
+                       capacity: int | None = None) -> BvhNodes:
+    """[T,3] world-space corner arrays → flat BVH over triangles (the
+    reference's planned ModelBVH, extract.rs:239-248; BASELINE config 5)."""
+    bmin, bmax = triangle_aabbs(va, vb, vc)
+    return build_bvh_from_aabbs(bmin, bmax, capacity)
+
+
+def build_scene_bvh(centers: np.ndarray, radii: np.ndarray,
+                    capacity: int | None = None) -> BvhNodes:
+    """centers [N,3], radii [N] → padded device-resident flat BVH."""
+    bmin, bmax = sphere_aabbs(centers, radii)
+    return build_bvh_from_aabbs(bmin, bmax, capacity)
+
+
+def _pack_nodes(fmin, fmax, index, count, capacity: int | None) -> BvhNodes:
+    """Lane-pad flat node arrays into the device BvhNodes table."""
     n = fmin.shape[0]
     cap = capacity or pad_to(max(n, 1))
     pad = lambda a, fill, dt: np.concatenate(

@@ -135,6 +135,7 @@ class SceneBuffers(NamedTuple):
     materials: Materials
     bvh: Optional[BvhNodes]
     triangles: Optional[Triangles] = None
+    tri_bvh: Optional[BvhNodes] = None
 
 
 class CameraState(NamedTuple):

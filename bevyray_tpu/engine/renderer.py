@@ -127,7 +127,13 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         if scene.triangles is not None:
             from ..kernels.intersect import (intersect_triangles, merge_hits,
                                              triangle_hit_info)
-            tt, ti = intersect_triangles(c.origin, c.direction, scene.triangles)
+            if config.intersect_backend == "bvh" and scene.tri_bvh is not None:
+                from ..kernels.traverse import intersect_bvh_triangles
+                tt, ti = intersect_bvh_triangles(c.origin, c.direction,
+                                                 scene.triangles, scene.tri_bvh)
+            else:
+                tt, ti = intersect_triangles(c.origin, c.direction,
+                                             scene.triangles)
             hit = merge_hits(hit, triangle_hit_info(c.origin, c.direction, tt, ti,
                                                     scene.triangles))
 

@@ -55,15 +55,73 @@ def _sphere_t(origin: Vec3, direction: Vec3, a, inv_a, cx, cy, cz, r):
     return jnp.where(ok, t, INF)
 
 
+def _tri_leaf_t(origin: Vec3, direction: Vec3, tris, prim):
+    """Möller–Trumbore distance for gathered triangle ``prim`` per lane (same
+    acceptance as kernels.intersect.intersect_triangles); INF on miss."""
+    ax, ay, az = tris.ax[prim], tris.ay[prim], tris.az[prim]
+    e1x = tris.bx[prim] - ax
+    e1y = tris.by[prim] - ay
+    e1z = tris.bz[prim] - az
+    e2x = tris.cx[prim] - ax
+    e2y = tris.cy[prim] - ay
+    e2z = tris.cz[prim] - az
+    dx, dy, dz = direction.x, direction.y, direction.z
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = px * e1x + py * e1y + pz * e1z
+    inv_det = 1.0 / det
+    tx = origin.x - ax
+    ty = origin.y - ay
+    tz = origin.z - az
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > T_MIN) & tris.valid[prim])
+    return jnp.where(ok, t, INF)
+
+
+def intersect_bvh_triangles(origin: Vec3, direction: Vec3, tris, bvh: BvhNodes,
+                            stack_size: int = STACK_SIZE,
+                            max_leaf_size: int = 1):
+    """Nearest triangle hit via BVH traversal (the reference's planned ModelBVH,
+    extract.rs:239-248) — same bounded-stack walk as the sphere version with a
+    Möller–Trumbore leaf test."""
+    return _intersect_bvh_generic(
+        origin, direction, bvh, stack_size, max_leaf_size,
+        capacity=tris.capacity,
+        leaf_t=lambda prim: _tri_leaf_t(origin, direction, tris, prim))
+
+
 def intersect_bvh(origin: Vec3, direction: Vec3, spheres: Spheres, bvh: BvhNodes,
                   stack_size: int = STACK_SIZE, max_leaf_size: int = 1):
     """Nearest hit via BVH traversal. Returns (t, index) like
     :func:`..kernels.intersect.intersect_spheres`."""
+    a = direction.dot(direction)
+    inv_a = 1.0 / a
+
+    def leaf_t(prim):
+        return _sphere_t(origin, direction, a, inv_a,
+                         spheres.cx[prim], spheres.cy[prim], spheres.cz[prim],
+                         spheres.radius[prim])
+
+    return _intersect_bvh_generic(origin, direction, bvh, stack_size,
+                                  max_leaf_size, capacity=spheres.capacity,
+                                  leaf_t=leaf_t)
+
+
+def _intersect_bvh_generic(origin: Vec3, direction: Vec3, bvh: BvhNodes,
+                           stack_size: int, max_leaf_size: int, capacity: int,
+                           leaf_t):
+    """Shared bounded-stack BVH walk; ``leaf_t(prim_index_array)`` returns the
+    per-lane hit distance for one primitive (INF on miss)."""
     n = origin.x.shape[0]
     lanes = jnp.arange(n)
 
-    a = direction.dot(direction)
-    inv_a = 1.0 / a
     inv_dir = Vec3(1.0 / direction.x, 1.0 / direction.y, 1.0 / direction.z)
 
     # stack[:, 0] = 0 (root), stack_index = 1 — wgsl:316-318.
@@ -91,10 +149,8 @@ def intersect_bvh(origin: Vec3, direction: Vec3, spheres: Spheres, bvh: BvhNodes
         # --- leaf: test prims [first, first+count) (wgsl:348-362) -------------
         new_t, new_i = best_t, best_i
         for k in range(max_leaf_size):
-            prim = jnp.clip(first + k, 0, spheres.capacity - 1)
-            t = _sphere_t(origin, direction, a, inv_a,
-                          spheres.cx[prim], spheres.cy[prim], spheres.cz[prim],
-                          spheres.radius[prim])
+            prim = jnp.clip(first + k, 0, capacity - 1)
+            t = leaf_t(prim)
             ok = is_leaf & (k < count) & (t < new_t)
             new_i = jnp.where(ok, prim, new_i)
             new_t = jnp.where(ok, t, new_t)

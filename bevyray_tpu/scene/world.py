@@ -164,11 +164,15 @@ class World:
         spheres = make_spheres_np(centers, radii, mat_ids, cap)
 
         triangles = None
+        tri_bvh = None
         mesh_data = self.extract_meshes_host(first_material_id=len(radii))
         if mesh_data is not None:
             va, vb, vc, tri_mids, tri_mats = mesh_data
             triangles = make_triangles_np(va, vb, vc, tri_mids)
             mat_table = np.concatenate([mat_table, tri_mats], axis=0)
+            if with_bvh:
+                from ..bvh import build_triangle_bvh
+                tri_bvh = build_triangle_bvh(va, vb, vc)
 
         materials = make_materials_np(
             mat_table, pad_to(max(mat_table.shape[0], cap, 1)))
@@ -179,7 +183,7 @@ class World:
             bvh = build_scene_bvh(centers, radii)
 
         scene = SceneBuffers(spheres=spheres, materials=materials, bvh=bvh,
-                             triangles=triangles)
+                             triangles=triangles, tri_bvh=tri_bvh)
         self._extract_cache["scene"] = (key, scene)
         return scene
 

@@ -117,3 +117,58 @@ def test_rays_from_inside_scene():
     t_brute, _ = intersect_spheres(origin, direction, spheres)
     t_bvh, _ = intersect_bvh(origin, direction, spheres, bvh)
     np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_brute), rtol=1e-5)
+
+
+def test_triangle_bvh_traversal_matches_brute_force():
+    """The triangle BVH (the reference's planned ModelBVH, extract.rs:239-248)
+    must find exactly the same nearest hits as the brute-force pass."""
+    from bevyray_tpu.bvh.build import build_triangle_bvh
+    from bevyray_tpu.core.types import make_triangles_np
+    from bevyray_tpu.kernels.intersect import intersect_triangles
+    from bevyray_tpu.kernels.traverse import intersect_bvh_triangles
+
+    rng = np.random.RandomState(11)
+    n_tris = 200
+    base = rng.uniform(-8, 8, (n_tris, 3)).astype(np.float32)
+    va = base
+    vb = base + rng.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    vc = base + rng.uniform(-1, 1, (n_tris, 3)).astype(np.float32)
+    tris = make_triangles_np(va, vb, vc, np.zeros(n_tris, np.int32))
+    bvh = build_triangle_bvh(va, vb, vc)
+
+    n_rays = 256
+    o = rng.uniform(-10, 10, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    origin = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    direction = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    t_brute, i_brute = intersect_triangles(origin, direction, tris)
+    t_bvh, i_bvh = intersect_bvh_triangles(origin, direction, tris, bvh)
+    np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_brute), rtol=1e-5)
+    hit = np.asarray(t_brute) < 1e30
+    assert hit.sum() >= 5
+    assert (np.asarray(i_bvh)[hit] == np.asarray(i_brute)[hit]).mean() > 0.99
+
+
+def test_mesh_scene_bvh_backend_matches_brute():
+    from bevyray_tpu import (RenderConfig, Renderer, RaytracedCamera, Raytracing,
+                             StandardMaterial, Transform, cube_mesh)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 0.5, 6).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.PURE))
+    w.spawn_sphere(Transform.from_xyz(-1.5, 0.5, 0),
+                   __import__("bevyray_tpu").RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0, 0, 1)))
+    w.spawn_mesh(Transform.from_xyz(1.2, 0.5, 0), cube_mesh(1.0),
+                 StandardMaterial(base_color=(1, 1, 0)))
+    scene = w.extract(with_bvh=True)
+    cam = w.camera_state(aspect=1.0)
+    kw = dict(width=32, height=32, samples_per_pixel=2, bounces=3, level=3)
+    brute = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="brute"))
+                       .render(scene, cam, seed=4).image)
+    bvh = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="bvh"))
+                     .render(scene, cam, seed=4).image)
+    np.testing.assert_allclose(bvh, brute, atol=1e-6)
