@@ -113,14 +113,14 @@ def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
     """Megakernel-backed accumulation: one fused kernel pass traces
     ``config.samples_per_pixel`` fresh samples (offset so streams never repeat)
     and returns SUMS that fold into the film."""
-    from ..kernels.pallas.megakernel import render_tiles
+    from ..kernels.pallas.megakernel import render_tiles, unshuffle_blocks
 
-    n = config.n_pixels
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         sample_offset=sample_offset,
                                         normalize=False)
-    return Film(color_sum=film.color_sum + Vec3(r[:n], g[:n], b[:n]),
-                depth_sum=film.depth_sum + depth[:n],
+    r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
+    return Film(color_sum=film.color_sum + Vec3(r, g, b),
+                depth_sum=film.depth_sum + depth,
                 n_samples=film.n_samples + config.samples_per_pixel,
                 rays_traced=film.rays_traced + segs)
 

@@ -13,7 +13,7 @@ from ..core.types import CameraState, RenderConfig, SceneBuffers
 from ..core.vec import Vec3
 from ..kernels.composite import composite
 from ..kernels.pallas.megakernel import (PallasScene, prepare_pallas_scene,
-                                         render_tiles)
+                                         render_tiles, unshuffle_blocks)
 from .renderer import FrameResult
 
 
@@ -24,8 +24,9 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
     n = h * w
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         exact_rng=exact_rng)
-    rt_color = Vec3(r[:n], g[:n], b[:n])
-    rt_depth = depth[:n]
+    r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
+    rt_color = Vec3(r, g, b)
+    rt_depth = depth
     out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
                     raster_color, raster_depth)
     img = jnp.stack([jnp.broadcast_to(out.x, (n,)), jnp.broadcast_to(out.y, (n,)),

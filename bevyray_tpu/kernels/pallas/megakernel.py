@@ -53,6 +53,7 @@ from ..shade import scatter
 
 TILE_SUB = 32          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
+BLOCK = 64             # square pixel-block edge; BLOCK*BLOCK == TILE
 SPHERE_CHUNK = 128     # spheres per pair block (lane dim)
 BALL_REJECT_K = 6      # fixed rejection tries for hardware-RNG ball sampling
 
@@ -437,18 +438,30 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
-    # seed_ref row: [frame_seed, pixel_offset, sample_offset, _] — the offsets
-    # are nonzero when this kernel renders one shard of a multi-chip frame.
-    pixel_offset = seed_ref[0, 1].astype(jnp.int32)
+    # Each tile is a SQUARE 64×64 pixel block (TILE = 4096): a row-strip tile
+    # would span 2+ full image rows, giving its rays a panoramic frustum that
+    # defeats group culling; a square block's primary rays share ~3° of FOV and
+    # skip most of the scene. Block tiles are ordered (by, bx) row-major over a
+    # padded block grid; outputs get un-shuffled back to scanline order outside
+    # the kernel (unshuffle_blocks).
+    # seed_ref row: [frame_seed, block_offset, sample_offset, nbx] — offsets are
+    # nonzero when this kernel renders one shard of a multi-chip frame.
+    block_offset = seed_ref[0, 1].astype(jnp.int32)
     sample_offset = seed_ref[0, 2]
+    nbx = seed_ref[0, 3].astype(jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 1)
-    pixel_index = pixel_offset + tile_id * TILE + sub * 128 + lane
+    block = block_offset + tile_id
+    r = sub * 128 + lane                       # 0..4095 within the block
+    px = (block % nbx) * BLOCK + (r % BLOCK)
+    py = (block // nbx) * BLOCK + (r // BLOCK)
     width_f = cam_ref[0, C_WIDTH]
     width_i = width_f.astype(jnp.int32)
-    px = pixel_index % width_i
-    py = pixel_index // width_i
-    in_image = pixel_index < cam_ref[0, C_NPIX].astype(jnp.int32)
+    height_i = cam_ref[0, C_HEIGHT].astype(jnp.int32)
+    in_image = (px < width_i) & (py < height_i)
+    # RNG streams stay keyed by the ROW-MAJOR pixel id so images are identical
+    # to the XLA renderer regardless of tile shape.
+    pixel_index = py * width_i + px
     u = (px.astype(jnp.float32) + 0.5) / width_f
     v = (py.astype(jnp.float32) + 0.5) / cam_ref[0, C_HEIGHT]
 
@@ -722,25 +735,39 @@ def _pack_camera(cam: CameraState, config: RenderConfig):
     return vals
 
 
+def block_grid(config: RenderConfig):
+    """(nbx, nby): the 64×64 block grid covering the frame."""
+    return -(-config.width // BLOCK), -(-config.height // BLOCK)
+
+
+def unshuffle_blocks(flat, config: RenderConfig):
+    """Block-ordered kernel output → row-major [H*W] pixels."""
+    nbx, nby = block_grid(config)
+    img = flat[:nbx * nby * TILE].reshape(nby, nbx, BLOCK, BLOCK)
+    img = img.transpose(0, 2, 1, 3).reshape(nby * BLOCK, nbx * BLOCK)
+    return img[:config.height, :config.width].reshape(-1)
+
+
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
-                 frame_seed, exact_rng: bool = False, pixel_offset=0,
-                 sample_offset=0, n_pixels_local=None, normalize: bool = True):
+                 frame_seed, exact_rng: bool = False, block_offset=0,
+                 sample_offset=0, n_blocks_local=None, normalize: bool = True):
     """Run the megakernel over the frame (or one shard of it when
-    ``pixel_offset``/``n_pixels_local``/``sample_offset`` describe a slice of a
-    multi-chip frame). Returns (r, g, b, depth) as [N_padded] flat arrays plus
-    the traced-segment count (f32 scalar); with ``normalize=False`` color/depth
-    come back as sample SUMS for a cross-device psum."""
-    n = n_pixels_local if n_pixels_local is not None else config.n_pixels
-    n_tiles = -(-n // TILE)
+    ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
+    multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
+    (pass through :func:`unshuffle_blocks`) plus the traced-segment count (f32
+    scalar); with ``normalize=False`` color/depth come back as sample SUMS for a
+    cross-device psum."""
+    nbx, nby = block_grid(config)
+    n_tiles = n_blocks_local if n_blocks_local is not None else nbx * nby
     s = pscene.sph.shape[1]
     n_tris = pscene.tri.shape[1]
     assert s % SPHERE_CHUNK == 0
 
     cam_row = _pack_camera(cam, config)
     seed = jnp.stack([jnp.asarray(frame_seed, jnp.uint32),
-                      jnp.asarray(pixel_offset, jnp.uint32),
+                      jnp.asarray(block_offset, jnp.uint32),
                       jnp.asarray(sample_offset, jnp.uint32),
-                      jnp.uint32(0)]).reshape(1, 4)
+                      jnp.uint32(nbx)]).reshape(1, 4)
 
     grid = (n_tiles,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which

@@ -192,15 +192,20 @@ def make_sharded_step(mesh: Mesh, config: RenderConfig):
 
 @functools.lru_cache(maxsize=16)
 def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
-    from ..kernels.pallas.megakernel import TILE, prepare_pallas_scene, render_tiles
+    from ..kernels.pallas.megakernel import (TILE, block_grid,
+                                             prepare_pallas_scene, render_tiles,
+                                             unshuffle_blocks)
 
     sp, dp, tp = (mesh.shape[a] for a in AXES)
     if tp != 1:
         raise ValueError("the megakernel multi-chip path supports sp/dp axes "
                          "only; use the XLA sharded step for tp sphere sharding")
+    nbx, nby = block_grid(config)
+    n_blocks = nbx * nby
+    n_blocks_padded = -(-n_blocks // sp) * sp
+    blocks_local = n_blocks_padded // sp
+    n_local = blocks_local * TILE
     n = config.n_pixels
-    n_padded = -(-n // (sp * TILE)) * (sp * TILE)
-    n_local = n_padded // sp
     if config.samples_per_pixel % dp != 0:
         raise ValueError(f"spp {config.samples_per_pixel} must divide dp={dp}")
     local_spp = config.samples_per_pixel // dp
@@ -211,9 +216,9 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
         dp_i = jax.lax.axis_index("dp")
         r, g, b, depth, segs = render_tiles(
             pscene, cam, local_config, frame_seed,
-            pixel_offset=(sp_i * n_local).astype(jnp.uint32),
+            block_offset=(sp_i * blocks_local).astype(jnp.uint32),
             sample_offset=(dp_i * local_spp).astype(jnp.uint32),
-            n_pixels_local=n_local, normalize=False)
+            n_blocks_local=blocks_local, normalize=False)
         # Merge partial sample sums across dp; segments across everything.
         r, g, b, depth = (jax.lax.psum(x, "dp") for x in (r, g, b, depth))
         segs = jax.lax.psum(jax.lax.psum(segs, "dp"), "sp")
@@ -239,8 +244,11 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
         pscene = prepare_pallas_scene(scene)
         img, rt_depth, segs = sharded(pscene, cam, frame_seed, raster_color,
                                       raster_depth)
-        img = img[:n]
-        rt_depth = rt_depth[:n]
+        # Gathered outputs are block-ordered (padded to sp·blocks_local blocks);
+        # un-shuffle back to scanline order and crop.
+        rgb = [unshuffle_blocks(img[:, k], config) for k in range(3)]
+        img = jnp.stack(rgb, axis=-1)
+        rt_depth = unshuffle_blocks(rt_depth, config)
         return FrameResult(
             image=img.reshape(config.height, config.width, 3),
             rt_depth=rt_depth.reshape(config.height, config.width),
