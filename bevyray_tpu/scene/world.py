@@ -8,7 +8,6 @@ revision counter so an unchanged scene costs zero host work per frame.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp

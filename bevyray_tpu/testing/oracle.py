@@ -69,10 +69,32 @@ def _raycast(origin, direction, centers, radii):
     return (F(t[i]), i) if t[i] < INF else (F(INF), -1)
 
 
+def _raycast_triangles(origin, direction, tri_a, tri_b, tri_c):
+    """Nearest triangle hit (Möller–Trumbore), same acceptance as
+    kernels.intersect.intersect_triangles. Returns (t, index)."""
+    e1 = (tri_b - tri_a).astype(F)
+    e2 = (tri_c - tri_a).astype(F)
+    p = np.cross(np.broadcast_to(direction, e2.shape), e2).astype(F)
+    det = (p * e1).sum(1).astype(F)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_det = (F(1.0) / det).astype(F)
+        tv = (origin - tri_a).astype(F)
+        u = ((tv * p).sum(1) * inv_det).astype(F)
+        q = np.cross(tv, e1).astype(F)
+        v = ((q * np.broadcast_to(direction, q.shape)).sum(1) * inv_det).astype(F)
+        t = ((q * e2).sum(1) * inv_det).astype(F)
+    ok = ((np.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > T_MIN))
+    t = np.where(ok, t, F(INF))
+    i = int(np.argmin(t))
+    return (F(t[i]), i) if t[i] < INF else (F(INF), -1)
+
+
 def render_oracle(centers, radii, materials, camera, width, height,
                   samples_per_pixel, bounces, level, frame_seed,
                   raster_color=(1.0, 1.0, 1.0), raster_depth=0.0,
-                  defocus=False, diffuse_sampling="reference"):
+                  defocus=False, diffuse_sampling="reference",
+                  triangles=None):
     """Render a full frame.
 
     ``camera``: dict with position, direction, up (3-vectors), fov, near, far,
@@ -81,6 +103,9 @@ def render_oracle(centers, radii, materials, camera, width, height,
     centers = np.asarray(centers, F)
     radii = np.asarray(radii, F)
     materials = np.asarray(materials, F)
+    if triangles is not None:
+        # (va [T,3], vb, vc, material_ids [T]) — world-space corners.
+        tri_a, tri_b, tri_c, tri_mids = (np.asarray(x) for x in triangles)
     pos = np.asarray(camera["position"], F)
     cam_dir = np.asarray(camera["direction"], F)
     up = np.asarray(camera["up"], F)
@@ -137,6 +162,11 @@ def render_oracle(centers, radii, materials, camera, width, height,
                 b = 0
                 while b <= bounces:
                     t, idx = _raycast(o, d, centers, radii)
+                    hit_tri = False
+                    if triangles is not None:
+                        tt, ti = _raycast_triangles(o, d, tri_a, tri_b, tri_c)
+                        if tt < t:
+                            t, idx, hit_tri = tt, ti, True
                     if b == 0:
                         first_depth = t
                     if t >= INF:
@@ -148,9 +178,14 @@ def render_oracle(centers, radii, materials, camera, width, height,
                         break
                     # hit info (wgsl:355-358)
                     hit_pos = (o + t * d).astype(F)
-                    normal = _normalize(hit_pos - centers[idx])
+                    if hit_tri:
+                        normal = _normalize(np.cross(tri_b[idx] - tri_a[idx],
+                                                     tri_c[idx] - tri_a[idx]))
+                        m = materials[int(tri_mids[idx])]
+                    else:
+                        normal = _normalize(hit_pos - centers[idx])
+                        m = materials[idx]
                     front_face = np.dot(d, normal) < 0.0
-                    m = materials[idx]
                     base_color = m[0:3]
                     metallic, roughness, ior, spec_trans = m[3], m[4], m[6], m[7]
                     if m.shape[0] > 8:

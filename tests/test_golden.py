@@ -74,3 +74,35 @@ def test_skip_level_passthrough():
     frame = r.render(world.extract(with_bvh=False),
                      world.camera_state(aspect=1.0), seed=0)
     np.testing.assert_allclose(np.asarray(frame.image), 1.0)
+
+
+def test_mesh_scene_matches_oracle():
+    """Triangle meshes against the independent oracle (oracle's serial
+    control-flow + its own Möller–Trumbore)."""
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform, cube_mesh)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 0.8, 5).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.PURE))
+    w.spawn_sphere(Transform.from_xyz(0, -1000, 0), RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    w.spawn_sphere(Transform.from_xyz(-1.3, 0.5, 0), RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0.8, 0.2, 0.2)))
+    w.spawn_mesh(Transform.from_xyz(0.9, 0.5, 0), cube_mesh(1.0),
+                 StandardMaterial(base_color=(0.2, 0.5, 0.9), metallic=1.0,
+                                  perceptual_roughness=0.1))
+    cfg = RenderConfig(width=40, height=40, samples_per_pixel=2, bounces=4,
+                       level=3)
+    frame = Renderer(cfg).render(w.extract(with_bvh=False),
+                                 w.camera_state(aspect=1.0), seed=6)
+    got = np.asarray(frame.image)
+
+    centers, radii, mats, camera = oracle_inputs_from_world(w)
+    mesh_data = w.extract_meshes_host(first_material_id=len(radii))
+    va, vb, vc, tri_mids, tri_mats = mesh_data
+    mats_full = np.concatenate([mats, tri_mats], axis=0)
+    want, _ = render_oracle(centers, radii, mats_full, camera, 40, 40, 2, 4, 3, 6,
+                            triangles=(va, vb, vc, tri_mids))
+    _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
