@@ -21,12 +21,12 @@ Design notes (constraints/costs measured on TPU v5e by probing + ablation):
   attributes (centers + materials, each split bf16 hi/lo for f32 accuracy — the
   MXU truncates inputs to bf16) live in ONE combined table, one matmul per ray
   sublane-row against an (S, 128) one-hot (no sublane↔lane relayouts).
-- Mosaic's log/cos/sin lower very slowly (~36 ns/ray·bounce for two Box–Muller
-  ball samples — more than the entire 512-sphere intersection), so the default
-  RNG is the **hardware PRNG** (``pltpu.prng_*``) with fixed-K rejection sampling
-  for unit-ball draws (no transcendentals). ``exact_rng=True`` switches to the
-  counter-based PCG streams + Box–Muller shared with the XLA renderer and the
-  NumPy oracle — bit-comparable, used by interpret-mode tests.
+- Mosaic's builtin log/cos/sin lower very slowly (~36 ns/ray·bounce for two
+  Box–Muller ball samples — more than the entire 512-sphere intersection), so
+  the default RNG is the **hardware PRNG** (``pltpu.prng_*``) with fast-math
+  (bit-trick) Box–Muller sampling. ``exact_rng=True`` switches to the
+  counter-based PCG streams + exact Box–Muller shared with the XLA renderer and
+  the NumPy oracle — bit-comparable, used by interpret-mode tests.
 - Shading, sky, and the exact-RNG path reuse the same jnp building blocks as the
   XLA renderer (core.rng, kernels.shade, kernels.composite).
 """
@@ -54,8 +54,7 @@ from ..shade import scatter
 TILE_SUB = 32          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
 BLOCK = 64             # square pixel-block edge; BLOCK*BLOCK == TILE
-SPHERE_CHUNK = 128     # spheres per pair block (lane dim)
-BALL_REJECT_K = 6      # fixed rejection tries for hardware-RNG ball sampling
+SPHERE_CHUNK = 128     # sphere-table capacity granularity (lane multiple)
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
 _C_HI, _C_LO = 0, 3            # cx, cy, cz
@@ -226,63 +225,19 @@ class HwRngProvider:
         return part(0), part(1), part(2), ball1, ball2
 
 
-def _intersect_scalar_loop(origin: Vec3, direction: Vec3, sph_ref, n_spheres: int,
-                           unroll: int = 4):
-    """Nearest hit by looping spheres one at a time against register-resident
-    (TILE_SUB, 128) ray tiles.
-
-    The earlier design computed dense (TILE_SUB, 128 rays, 128 spheres) pair
-    blocks — full VPU width, but each 512 KB intermediate exceeds the vector
-    register file, so EVERY op streamed megabytes through the VMEM stack (the
-    kernel hit Mosaic's 16 MB scoped-vmem limit at 2× tile size, and wall time
-    was completely insensitive to arithmetic changes — memory-bound). Here each
-    sphere contributes ~15 ops on (8,128) vregs with all temps register-resident;
-    sphere scalars stream from SMEM (where dynamic scalar indexing is legal —
-    dynamic VMEM scalar reads crash this Mosaic version).
-
-    ``sph_ref``: SMEM (4, S) rows = cx, cy, cz, radius (0 marks padding).
-    Semantics identical to kernels.intersect.intersect_spheres.
-    """
-    a = direction.dot(direction)
-    inv_a = 1.0 / a
-    ox, oy, oz = origin.x, origin.y, origin.z
-    dx, dy, dz = direction.x, direction.y, direction.z
-
-    def one_sphere(s, best_t, best_i):
-        cx = sph_ref[0, s]
-        cy = sph_ref[1, s]
-        cz = sph_ref[2, s]
-        r = sph_ref[3, s]
-        ocx = cx - ox
-        ocy = cy - oy
-        ocz = cz - oz
-        h = dx * ocx + dy * ocy + dz * ocz
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = h * h - a * cc
-        t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a
-        better = ((disc >= 0.0) & (t > T_MIN) & (r > 0.0) & (t < best_t))
-        best_t = jnp.where(better, t, best_t)
-        best_i = jnp.where(better, s, best_i)
-        return best_t, best_i
-
-    def body(k, carry):
-        best_t, best_i = carry
-        for j in range(unroll):   # amortize loop management over a few spheres
-            best_t, best_i = one_sphere(k * unroll + j, best_t, best_i)
-        return best_t, best_i
-
-    init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
-            jnp.full((TILE_SUB, 128), -1, jnp.int32))
-    assert n_spheres % unroll == 0
-    return jax.lax.fori_loop(0, n_spheres // unroll, body, init)
-
-
 GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
 def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
                        active, n_spheres: int, unroll: int = 8):
     """Scalar-loop intersection with per-tile group culling.
+
+    One sphere at a time streams as SMEM scalars (the one place dynamic scalar
+    indexing lowers; dynamic VMEM scalar reads crash this Mosaic) against
+    register-resident (TILE_SUB, 128) ray tiles — ~15 ops per sphere with all
+    temps in vector registers. Semantics identical to
+    kernels.intersect.intersect_spheres (near root only, t > 0.001, nearest
+    wins, earliest index on ties; zero radius marks padding).
 
     Spheres are pre-sorted (scene prep) into GROUP-sized morton-ordered groups
     with precomputed AABBs (``gaabb_ref``: SMEM (6, n_groups) = min xyz, max
