@@ -65,7 +65,7 @@ def cmd_render(args):
 
     world = _build_world(args)
     config = _config(args)
-    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
     renderer = _make_renderer(args, config)
 
@@ -88,7 +88,7 @@ def cmd_accumulate(args):
 
     world = _build_world(args)
     config = _config(args)
-    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
     prog = ProgressiveRenderer(
         config, backend="pallas" if args.backend == "pallas" else "xla")
@@ -106,7 +106,7 @@ def cmd_bench(args):
 
     world = _build_world(args)
     config = _config(args)
-    scene = world.extract(with_bvh=(args.backend == "bvh"))
+    scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
     renderer = _make_renderer(args, config)
 

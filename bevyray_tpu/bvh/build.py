@@ -27,8 +27,10 @@ SEARCH_RADIUS = 24     # extract.rs:316
 
 
 def sphere_aabbs(centers: np.ndarray, radii: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Inflated sphere bounds (extract.rs:220-227)."""
-    r = (radii + AABB_INFLATION)[:, None].astype(np.float32)
+    """Inflated sphere bounds (extract.rs:220-227). |r|: negative radii (the
+    hollow-glass trick — hit_sphere only squares r, wgsl:375) bound the same
+    ball; a signed radius would invert the box and the slab test would cull it."""
+    r = (np.abs(radii) + AABB_INFLATION)[:, None].astype(np.float32)
     c = centers.astype(np.float32)
     return c - r, c + r
 

@@ -87,7 +87,8 @@ def stream_init(pixel_id, sample_index, frame_seed):
 
 def draw(stream, slot):
     """Uniform f32 in [0,1) for draw-slot ``slot`` of ``stream`` (no state carried)."""
-    mixed = pcg_step(pcg_step(stream ^ (_as_u32(slot) * _MIX2)))
+    with np.errstate(over="ignore"):   # uint32 wraparound is the point
+        mixed = pcg_step(pcg_step(stream ^ (_as_u32(slot) * _MIX2)))
     return to_float01(mixed)
 
 

@@ -94,6 +94,8 @@ def make_triangles_np(verts_a: np.ndarray, verts_b: np.ndarray, verts_c: np.ndar
     """[T,3] per-corner world-space vertex arrays → padded device table."""
     n = verts_a.shape[0]
     cap = capacity or pad_to(max(n, 1))
+    if cap < n:
+        raise ValueError(f"capacity {cap} < triangle count {n}")
 
     def pad_f(a):
         out = np.full((cap,), 1e6, np.float32)

@@ -170,11 +170,15 @@ class ProgressiveRenderer:
         if self.backend == "pallas":
             from ..kernels.pallas.megakernel import prepare_pallas_scene
 
-            sid = tuple(id(x) for x in jax.tree.leaves(scene.spheres))
+            leaves = jax.tree.leaves(scene.spheres)
+            sid = tuple(id(x) for x in leaves)
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
-                self._prepare_cache = (sid, jax.jit(prepare_pallas_scene)(scene))
+                # Keep the keyed leaves alive: ids of collected arrays can be
+                # recycled, which would serve stale geometry for a new scene.
+                self._prepare_cache = (sid, leaves,
+                                       jax.jit(prepare_pallas_scene)(scene))
             self.film = self._accumulate(
-                film=self.film, pscene=self._prepare_cache[1], cam=cam,
+                film=self.film, pscene=self._prepare_cache[2], cam=cam,
                 frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                 sample_offset=jnp.uint32(self._sample_offset))
         else:

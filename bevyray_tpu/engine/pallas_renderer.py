@@ -22,6 +22,13 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
                        exact_rng: bool = False) -> FrameResult:
     h, w = config.height, config.width
     n = h * w
+    if config.level == 0:   # Skip: raster passthrough, no tracing (wgsl:97-99)
+        img = jnp.stack([jnp.broadcast_to(raster_color.x, (n,)),
+                         jnp.broadcast_to(raster_color.y, (n,)),
+                         jnp.broadcast_to(raster_color.z, (n,))], axis=-1)
+        return FrameResult(image=img.reshape(h, w, 3),
+                           rt_depth=jnp.zeros((h, w), jnp.float32),
+                           rays_traced=jnp.float32(0.0))
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         exact_rng=exact_rng)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
@@ -58,11 +65,15 @@ class PallasRenderer:
         self._pscene_cache = None
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:
-        key = tuple(id(leaf) for leaf in jax.tree.leaves(scene.spheres))
+        leaves = jax.tree.leaves(scene.spheres)
+        key = tuple(id(leaf) for leaf in leaves)
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
-            return self._pscene_cache[1]
+            return self._pscene_cache[2]
         pscene = jax.jit(prepare_pallas_scene)(scene)
-        self._pscene_cache = (key, pscene)
+        # Retain the keyed leaves: id() values are only unique among live
+        # objects, so a cache keyed on ids of collected arrays could collide
+        # with a brand-new scene and serve stale geometry.
+        self._pscene_cache = (key, leaves, pscene)
         return pscene
 
     def render(self, scene: SceneBuffers, cam: CameraState, seed: int,

@@ -259,10 +259,10 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
         cx = sph_ref[0, s]
         cy = sph_ref[1, s]
         cz = sph_ref[2, s]
-        r = sph_ref[3, s]
-        ocx = cx - ox
-        ocy = cy - oy
-        ocz = cz - oz
+        r = sph_ref[3, s]   # |radius| — negative radii are legal (hollow-glass
+        ocx = cx - ox       # trick); hit_sphere only squares r (wgsl:375), so
+        ocy = cy - oy       # the table stores the absolute value and keeps
+        ocz = cz - oz       # r > 0 as the padding test (padding lanes are 0).
         h = dx * ocx + dy * ocy + dz * ocz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = h * h - a * cc
@@ -362,20 +362,21 @@ def _intersect_triangles_scalar(origin: Vec3, direction: Vec3, tri_ref,
 
 
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
-    """Winning-sphere attributes for every ray via one-hot MXU matmuls.
+    """Winning-primitive attributes for every ray via one-hot MXU matmuls.
 
-    ``attr_table`` is the combined (N_ATTR, S) bf16 table (centers hi/lo +
-    materials hi/lo). Ray sublane-rows are processed in pairs — onehot (S, 256)
-    per pair — so the whole gather is 4 matmuls per bounce. Returns
-    ``(center: Vec3, mat: list of N_MAT arrays)`` in f32, all (TILE_SUB, 128);
-    miss lanes (best_i < 0) come back zero.
+    ``attr_table`` is the combined (N_ATTR, S+T) bf16 table (centers/normals
+    hi/lo + materials hi/lo). One (S, 128) one-hot + one matmul per ray
+    sublane-row (TILE_SUB matmuls per bounce; the one-hot builds, not the
+    matmuls, dominate the cost). Returns ``(center_or_normal: Vec3, mats: list
+    of N_MAT arrays)`` in f32, all (TILE_SUB, 128); miss lanes (best_i < 0)
+    come back zero.
     """
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_spheres_padded, 128), 0)
     outs = []
     for r in range(TILE_SUB):
         onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)   # (S, 128)
         outs.append(jnp.dot(attr_table, onehot,
-                            preferred_element_type=jnp.float32))        # (24, 128)
+                            preferred_element_type=jnp.float32))   # (N_ATTR, 128)
 
     def assemble(row):
         return jnp.concatenate([outs[r][row:row + 1, :]
@@ -439,7 +440,11 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         if exact_rng:
             provider = ExactRngProvider(pixel_index, sample_idx, frame_seed)
         else:
-            provider = HwRngProvider(tile_id, sample_idx, frame_seed)
+            # Seed with the GLOBAL block id: under sp-sharded multi-chip
+            # rendering the local tile_id repeats on every shard, which would
+            # replicate the hardware-PRNG streams (correlated noise) across
+            # image slices.
+            provider = HwRngProvider(block, sample_idx, frame_seed)
 
         # Jittered primary ray (random_ray_from_uv, wgsl:139-156).
         ju, jv = provider.jitter()
@@ -456,8 +461,15 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             lu, lv = provider.lens()
             lens_r = cam_ref[0, C_APERTURE] * 0.5
             rr = lens_r * jnp.sqrt(lu)
-            lx = rr * _fast_cos2pi(lv)
-            ly = rr * _fast_sin2pi(lv)
+            if exact_rng:
+                # Bit-comparable with kernels.raygen (jnp trig); the fast path
+                # keeps the ~0.1%-error approximations.
+                theta = (2.0 * jnp.pi) * lv
+                lx = rr * jnp.cos(theta)
+                ly = rr * jnp.sin(theta)
+            else:
+                lx = rr * _fast_cos2pi(lv)
+                ly = rr * _fast_sin2pi(lv)
             focal = o + d.scale(cam_ref[0, C_FOCUS])
             o = o + cam_right.scale(lx) + cam_up.scale(ly)
             d = (focal - o).normalize()
@@ -561,7 +573,7 @@ class PallasScene(NamedTuple):
     triangles]; rows 0-2(+lo 3-5) hold sphere centers / triangle unit normals.
     """
 
-    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius (0 = padding)
+    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, |radius| (0 = padding)
     attr: jnp.ndarray     # (N_ATTR, S+T) bf16: [c|n hi(3), c|n lo(3), m_hi, m_lo]
     gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
     tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
@@ -605,7 +617,10 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     sp = type(sp)(*(leaf[order] for leaf in sp))
 
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
-    radius = jnp.where(sp.valid, sp.radius, 0.0)
+    # |radius|: the hit test only squares it, and storing the absolute value
+    # keeps r > 0 as the padding test while negative radii (hollow-glass
+    # bubbles) still intersect.
+    radius = jnp.where(sp.valid, jnp.abs(sp.radius), 0.0)
     center = jnp.stack([sp.cx, sp.cy, sp.cz], axis=0)
 
     def mat_rows(ids):
@@ -651,7 +666,7 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
             [attr, jnp.zeros((pad, attr.shape[1]), jnp.bfloat16)], axis=0)
     sph = jnp.stack([sp.cx, sp.cy, sp.cz, radius], axis=0)
 
-    # Conservative per-group AABBs over the sorted order: center ± radius.
+    # Conservative per-group AABBs over the sorted order: center ± |radius|.
     # Padding lanes (radius 0) get inverted bounds so all-padding groups can
     # never pass the slab test.
     s = sph.shape[1]

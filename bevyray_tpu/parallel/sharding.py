@@ -119,7 +119,7 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
             f"spp {config.samples_per_pixel} must divide dp={dp}")
     local_spp = config.samples_per_pixel // dp
 
-    def body(scene, cam, u, v, pixel_ids, frame_seed, raster_color, raster_depth):
+    def body(scene, cam, u, v, pixel_ids, frame_seed):
         intersect_fn = (_tp_intersect_fn(scene, config, tp) if tp > 1 else None)
         dp_i = jax.lax.axis_index("dp")
 
@@ -145,16 +145,14 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
         inv_spp = np.float32(1.0 / config.samples_per_pixel)
         rt_color = color_sum.scale(inv_spp)
         rt_depth = depth_sum * inv_spp
-        out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
-                        raster_color, raster_depth)
-        img = jnp.stack([jnp.broadcast_to(out.x, (n_local,)),
-                         jnp.broadcast_to(out.y, (n_local,)),
-                         jnp.broadcast_to(out.z, (n_local,))], axis=-1)
-        return img, rt_depth, seg_sum
+        rt = jnp.stack([jnp.broadcast_to(rt_color.x, (n_local,)),
+                        jnp.broadcast_to(rt_color.y, (n_local,)),
+                        jnp.broadcast_to(rt_color.z, (n_local,))], axis=-1)
+        return rt, rt_depth, seg_sum
 
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P("sp"), P("sp"), P("sp"), P(), P(), P()),
+        in_specs=(P(), P(), P("sp"), P("sp"), P("sp"), P()),
         out_specs=(P("sp"), P("sp"), P()),
         # The bounce-loop carry starts replicated (camera origin) and becomes
         # device-varying after the first intersection; the static
@@ -167,8 +165,16 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
     def step(scene, cam, frame_seed, raster_color, raster_depth):
         u, v = pixel_uv(config.width, config.height)
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
-        img, rt_depth, seg_sum = sharded(scene, cam, u, v, pixel_ids, frame_seed,
-                                         raster_color, raster_depth)
+        rt, rt_depth, seg_sum = sharded(scene, cam, u, v, pixel_ids, frame_seed)
+        # Composite outside shard_map: raster inputs may be per-pixel arrays
+        # (raster.py), which have no consistent in_spec against sharded pixels
+        # — here XLA partitions the elementwise op under whatever sharding the
+        # raster layer already carries.
+        out = composite(config.level, Vec3(rt[:, 0], rt[:, 1], rt[:, 2]),
+                        rt_depth, cam.near, cam.far, raster_color, raster_depth)
+        img = jnp.stack([jnp.broadcast_to(out.x, (n,)),
+                         jnp.broadcast_to(out.y, (n,)),
+                         jnp.broadcast_to(out.z, (n,))], axis=-1)
         return FrameResult(
             image=img.reshape(config.height, config.width, 3),
             rt_depth=rt_depth.reshape(config.height, config.width),
@@ -204,14 +210,13 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     n_blocks = nbx * nby
     n_blocks_padded = -(-n_blocks // sp) * sp
     blocks_local = n_blocks_padded // sp
-    n_local = blocks_local * TILE
     n = config.n_pixels
     if config.samples_per_pixel % dp != 0:
         raise ValueError(f"spp {config.samples_per_pixel} must divide dp={dp}")
     local_spp = config.samples_per_pixel // dp
     local_config = dataclasses.replace(config, samples_per_pixel=local_spp)
 
-    def body(pscene, cam, frame_seed, raster_color, raster_depth):
+    def body(pscene, cam, frame_seed):
         sp_i = jax.lax.axis_index("sp")
         dp_i = jax.lax.axis_index("dp")
         r, g, b, depth, segs = render_tiles(
@@ -223,18 +228,12 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
         r, g, b, depth = (jax.lax.psum(x, "dp") for x in (r, g, b, depth))
         segs = jax.lax.psum(jax.lax.psum(segs, "dp"), "sp")
         inv_spp = np.float32(1.0 / config.samples_per_pixel)
-        rt_color = Vec3(r * inv_spp, g * inv_spp, b * inv_spp)
-        rt_depth = depth * inv_spp
-        out = composite(config.level, rt_color, rt_depth, cam.near, cam.far,
-                        raster_color, raster_depth)
-        img = jnp.stack([jnp.broadcast_to(out.x, (n_local,)),
-                         jnp.broadcast_to(out.y, (n_local,)),
-                         jnp.broadcast_to(out.z, (n_local,))], axis=-1)
-        return img, rt_depth, segs
+        rt = jnp.stack([r * inv_spp, g * inv_spp, b * inv_spp], axis=-1)
+        return rt, depth * inv_spp, segs
 
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P()),
         out_specs=(P("sp"), P("sp"), P()),
         check_vma=False,
     )
@@ -242,13 +241,18 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     @jax.jit
     def step(scene, cam, frame_seed, raster_color, raster_depth):
         pscene = prepare_pallas_scene(scene)
-        img, rt_depth, segs = sharded(pscene, cam, frame_seed, raster_color,
-                                      raster_depth)
-        # Gathered outputs are block-ordered (padded to sp·blocks_local blocks);
-        # un-shuffle back to scanline order and crop.
-        rgb = [unshuffle_blocks(img[:, k], config) for k in range(3)]
-        img = jnp.stack(rgb, axis=-1)
+        rt, rt_depth, segs = sharded(pscene, cam, frame_seed)
+        # Gathered outputs are block-ordered (padded to sp·blocks_local
+        # blocks); un-shuffle to scanline order and crop, THEN composite —
+        # raster inputs are scanline-ordered and may be per-pixel arrays, so
+        # they can't be consumed inside shard_map under a replicated spec.
+        rgb = [unshuffle_blocks(rt[:, k], config) for k in range(3)]
         rt_depth = unshuffle_blocks(rt_depth, config)
+        out = composite(config.level, Vec3(*rgb), rt_depth, cam.near, cam.far,
+                        raster_color, raster_depth)
+        img = jnp.stack([jnp.broadcast_to(out.x, (n,)),
+                         jnp.broadcast_to(out.y, (n,)),
+                         jnp.broadcast_to(out.z, (n,))], axis=-1)
         return FrameResult(
             image=img.reshape(config.height, config.width, 3),
             rt_depth=rt_depth.reshape(config.height, config.width),

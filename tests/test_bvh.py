@@ -172,3 +172,14 @@ def test_mesh_scene_bvh_backend_matches_brute():
     bvh = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="bvh"))
                      .render(scene, cam, seed=4).image)
     np.testing.assert_allclose(bvh, brute, atol=1e-6)
+
+
+def test_bvh_negative_radius_bounds():
+    """Negative-radius spheres (hollow-glass trick) must get real AABBs —
+    a signed radius would invert the box and the BVH would cull the bubble."""
+    import numpy as np
+    from bevyray_tpu.bvh.build import sphere_aabbs
+
+    bmin, bmax = sphere_aabbs(np.array([[0.0, 0.5, 0.0]], np.float32),
+                              np.array([-0.4], np.float32))
+    assert (bmax - bmin > 0.9).all()   # 2*(0.4+0.1) per axis

@@ -106,3 +106,35 @@ def test_mesh_scene_matches_oracle():
     want, _ = render_oracle(centers, radii, mats_full, camera, 40, 40, 2, 4, 3, 6,
                             triangles=(va, vb, vc, tri_mids))
     _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
+
+
+def test_hollow_glass_matches_oracle():
+    """Negative-radius inner shell (RTiOW hollow-glass trick; hit_sphere only
+    squares r, wgsl:375) — both brute-force and BVH backends vs the oracle."""
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 0.6, 4).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.PURE))
+    w.spawn_sphere(Transform.from_xyz(0, -1000, 0), RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    glass = StandardMaterial(base_color=(1.0, 1.0, 1.0), ior=1.5,
+                             specular_transmission=1.0)
+    w.spawn_sphere(Transform.from_xyz(0, 0.5, 0), RaytracedSphere(0.5), glass)
+    w.spawn_sphere(Transform.from_xyz(0, 0.5, 0), RaytracedSphere(-0.4), glass)
+    w.spawn_sphere(Transform.from_xyz(-1.2, 0.5, 0), RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0.9, 0.3, 0.2)))
+
+    centers, radii, mats, camera = oracle_inputs_from_world(w)
+    camera["aspect"] = 1.0
+    want, _ = render_oracle(centers, radii, mats, camera, 32, 32, 2, 6, 3, 4)
+
+    cam = w.camera_state(aspect=1.0)
+    for backend, with_bvh in (("brute", False), ("bvh", True)):
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=6,
+                           level=3, intersect_backend=backend)
+        frame = Renderer(cfg).render(w.extract(with_bvh=with_bvh), cam, seed=4)
+        _assert_images_match(np.asarray(frame.image), want, mean_tol=4e-3,
+                             max_outlier_frac=0.02)

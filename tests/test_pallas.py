@@ -104,3 +104,63 @@ def test_pallas_large_scene_capacity():
     err = np.abs(got - want)
     assert err.mean() < 2e-3, err.mean()
     assert (err.max(axis=-1) > 1e-3).mean() < 0.02
+
+
+def _hollow_glass_world():
+    """RTiOW hollow-glass trick: a negative-radius inner shell inside a
+    dielectric sphere (valid geometry — hit_sphere only squares r, wgsl:375)."""
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 0.6, 4).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.PURE))
+    w.spawn_sphere(Transform.from_xyz(0, -1000, 0), RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    glass = StandardMaterial(base_color=(1.0, 1.0, 1.0), ior=1.5,
+                             specular_transmission=1.0)
+    w.spawn_sphere(Transform.from_xyz(0, 0.5, 0), RaytracedSphere(0.5), glass)
+    w.spawn_sphere(Transform.from_xyz(0, 0.5, 0), RaytracedSphere(-0.4), glass)
+    w.spawn_sphere(Transform.from_xyz(-1.2, 0.5, 0), RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0.9, 0.3, 0.2)))
+    return w
+
+
+def test_pallas_hollow_glass_negative_radius():
+    """Negative radii must intersect in the megakernel (validity is a separate
+    SMEM row; r>0 culling would silently delete the bubble)."""
+    world = _hollow_glass_world()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=6,
+                       level=3)
+    want = Renderer(cfg).render(scene, cam, seed=4)
+    got = PallasRenderer(cfg).render(scene, cam, seed=4)
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               atol=5e-5)
+    # The bubble must actually matter: rendering without it differs.
+    world_solid = _hollow_glass_world()
+    world_solid.despawn(2)   # the -0.4 inner shell
+    solid = PallasRenderer(cfg).render(world_solid.extract(with_bvh=False),
+                                       cam, seed=4)
+    assert np.abs(np.asarray(got.image) - np.asarray(solid.image)).max() > 1e-3
+
+
+def test_pallas_defocus_exact_parity():
+    """Thin-lens sampling must be bit-comparable between the megakernel's exact
+    path (jnp trig) and the XLA raygen."""
+    from bevyray_tpu import RaytracedCamera, Raytracing, Transform
+
+    world = rtiow.material_test_scene()
+    world.set_camera(world.camera_transform,
+                     camera=RaytracedCamera(level=Raytracing.PURE,
+                                            aperture=0.3, focus_distance=4.0))
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=3,
+                       level=3, defocus=True)
+    want = Renderer(cfg).render(scene, cam, seed=8)
+    got = PallasRenderer(cfg).render(scene, cam, seed=8)
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               atol=5e-5)

@@ -80,3 +80,35 @@ def test_default_mesh_shape():
     for n in (1, 2, 4, 8, 16):
         sp, dp, tp = default_mesh_shape(n)
         assert sp * dp * tp == n
+
+
+def test_sharded_per_pixel_raster_inputs(world_and_scene):
+    """Per-pixel raster color/depth arrays (the hybrid G-buffer case) must work
+    through both sharded steps — composite runs outside shard_map, so the
+    raster layer needs no replicated spec against sharded pixels."""
+    import jax.numpy as jnp
+
+    from bevyray_tpu.core.vec import Vec3
+    from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
+
+    _, scene, cam = world_and_scene
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=3,
+                       level=2)
+    n = cfg.n_pixels
+    # A raster layer covering the left half of the frame, very near the camera.
+    px = np.arange(n) % cfg.width
+    in_left = px < cfg.width // 2
+    rd = jnp.asarray(np.where(in_left, 0.9, 0.0).astype(np.float32))
+    rc = Vec3(jnp.asarray(np.where(in_left, 1.0, 0.0).astype(np.float32)),
+              jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+
+    want = np.asarray(Renderer(cfg).render(
+        scene, cam, seed=5, raster_color=rc, raster_depth=rd).image)
+
+    got_xla = render_frame_sharded(make_mesh(2, 2, 2), scene, cam, cfg, 5,
+                                   raster_color=rc, raster_depth=rd)
+    np.testing.assert_allclose(np.asarray(got_xla.image), want, atol=1e-4)
+
+    got_pl = render_frame_sharded_pallas(make_mesh(4, 2, 1), scene, cam, cfg, 5,
+                                         raster_color=rc, raster_depth=rd)
+    np.testing.assert_allclose(np.asarray(got_pl.image), want, atol=1e-4)
