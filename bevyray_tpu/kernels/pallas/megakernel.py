@@ -390,7 +390,8 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
 def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
                    *, config: RenderConfig, n_spheres_padded: int,
-                   n_tris_padded: int, exact_rng: bool, normalize: bool = True):
+                   n_tris_padded: int, exact_rng: bool, persistent: bool = True,
+                   normalize: bool = True):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -434,19 +435,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
     attr_table = attr_ref[:]
 
-    def trace_one_sample(sample_idx):
-        """One sample for every ray in the tile (wgsl raytrace(), :174-224)."""
-        sample_idx = sample_idx.astype(jnp.uint32) + sample_offset
-        if exact_rng:
-            provider = ExactRngProvider(pixel_index, sample_idx, frame_seed)
-        else:
-            # Seed with the GLOBAL block id: under sp-sharded multi-chip
-            # rendering the local tile_id repeats on every shard, which would
-            # replicate the hardware-PRNG streams (correlated noise) across
-            # image slices.
-            provider = HwRngProvider(block, sample_idx, frame_seed)
+    spp = config.samples_per_pixel
 
-        # Jittered primary ray (random_ray_from_uv, wgsl:139-156).
+    def make_provider(sample_vec):
+        """sample_vec: per-lane sample index (i32 scalar or (TILE_SUB,128))."""
+        if exact_rng:
+            return ExactRngProvider(pixel_index,
+                                    sample_vec.astype(jnp.uint32) + sample_offset,
+                                    frame_seed)
+        return hw_provider
+
+    def raygen(provider):
+        """Jittered primary ray (random_ray_from_uv, wgsl:139-156)."""
         ju, jv = provider.jitter()
         h_px = cam_ref[0, C_HEIGHT]
         w_px = h_px * aspect
@@ -473,87 +473,159 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             focal = o + d.scale(cam_ref[0, C_FOCUS])
             o = o + cam_right.scale(lx) + cam_up.scale(ly)
             d = (focal - o).normalize()
+        return o, d
 
-        # The active mask is carried as f32: Mosaic's while-loop lowering is
-        # unreliable for i1 vector carries (layout mismatch at the yield).
+    def bounce_core(o, d, active, b_vec, provider, ray_color, radiance,
+                    first_depth):
+        """One path segment for every lane: intersect, sky/emissive radiance,
+        scatter. Returns the post-segment ray state plus hit/continue masks.
+        ``b_vec`` may be a scalar (classic per-sample loop) or per-lane."""
+        t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
+                                    n_spheres_padded)
+        if n_tris_padded:
+            t, idx = _intersect_triangles_scalar(
+                o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
+        miss = t >= INF
+        first_depth = jnp.where((b_vec == 0) & active, t, first_depth)
+        radiance = Vec3.where(active & miss,
+                              radiance + ray_color * background_gradient(d),
+                              radiance)
+        active_hit = active & ~miss
+
+        center, mats = _gather_attrs(idx, attr_table,
+                                     n_spheres_padded + n_tris_padded)
+        safe_t = jnp.where(miss, 0.0, t)
+        position = o + d.scale(safe_t)
+        # Rows 0-2 of the attr table hold the sphere CENTER for spheres and
+        # the precomputed unit NORMAL for triangles.
+        sphere_normal = (position - center).normalize()
+        if n_tris_padded:
+            is_tri = idx >= n_spheres_padded
+            normal = Vec3.where(is_tri, center, sphere_normal)
+        else:
+            normal = sphere_normal
+        normal = Vec3.where(miss, Vec3.full((), 0.0, 1.0, 0.0), normal)
+        hit = HitInfo(t=t, miss=miss, position=position, normal=normal,
+                      material_id=idx, front_face=d.dot(normal) < 0.0)
+        mat = MaterialLanes(
+            base_color=Vec3(mats[0], mats[1], mats[2]),
+            metallic=mats[3], roughness=mats[4], ior=mats[5],
+            specular_transmission=mats[6],
+            emissive=Vec3(mats[7], mats[8], mats[9]),
+        )
+        radiance = Vec3.where(active_hit,
+                              radiance + ray_color * mat.emissive, radiance)
+
+        u_metal, u_trans, u_reflect, ball1, ball2 = provider.scatter_draws(b_vec)
+        sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2,
+                     diffuse_mode=config.diffuse_sampling)
+
+        cont = active_hit & ~sc.absorbed
+        ray_color = Vec3.where(cont, ray_color * sc.attenuation, ray_color)
+        o = Vec3.where(active_hit, hit.position, o)
+        d = Vec3.where(active_hit, sc.direction, d)
+        return o, d, ray_color, radiance, first_depth, cont
+
+    n = (TILE_SUB, 128)
+    zero2 = jnp.zeros(n, jnp.float32)
+
+    if not exact_rng:
+        hw_provider = HwRngProvider(block, sample_offset, frame_seed)
+
+    if persistent:
+        # ---- persistent sampling: a lane whose path ends immediately starts
+        # its pixel's next sample, so tiles stay near-full occupancy instead of
+        # idling masked until the slowest path of every sample finishes.
+        # Lockstep iterations drop from spp*(bounces+1) to ~total path length
+        # plus a small straggler tail. Draw streams stay keyed by
+        # (pixel, sample, slot), so exact-RNG images are bit-identical to the
+        # per-sample loop.
         def cond(carry):
-            b, _, _, _, _, active_f, _, _ = carry
-            return (b <= config.bounces) & (jnp.max(active_f) > 0.0)
+            return jnp.min(carry[0]) < spp
 
         def body(carry):
-            b, o, d, ray_color, radiance, active_f, first_depth, segs = carry
-            active = active_f > 0.0
-            t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
-                                        n_spheres_padded)
-            if n_tris_padded:
-                t, idx = _intersect_triangles_scalar(
-                    o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
-            miss = t >= INF
-            first_depth = jnp.where(b == 0, t, first_depth)
-            radiance = Vec3.where(active & miss,
-                                  radiance + ray_color * background_gradient(d),
-                                  radiance)
-            active_hit = active & ~miss
+            (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
+             cr, cg, cb, dsum, segsum) = carry
+            active = s_lane < spp
+            provider = make_provider(s_lane)
+            o, d, ray_color, radiance, first_depth, cont = bounce_core(
+                o, d, active, b_lane, provider, ray_color, radiance,
+                first_depth)
+            cont = cont & (b_lane < config.bounces)
+            died = active & ~cont
 
-            center, mats = _gather_attrs(idx, attr_table,
-                                         n_spheres_padded + n_tris_padded)
-            safe_t = jnp.where(miss, 0.0, t)
-            position = o + d.scale(safe_t)
-            # Rows 0-2 of the attr table hold the sphere CENTER for spheres and
-            # the precomputed unit NORMAL for triangles.
-            sphere_normal = (position - center).normalize()
-            if n_tris_padded:
-                is_tri = idx >= n_spheres_padded
-                normal = Vec3.where(is_tri, center, sphere_normal)
-            else:
-                normal = sphere_normal
-            normal = Vec3.where(miss, Vec3.full((), 0.0, 1.0, 0.0), normal)
-            hit = HitInfo(t=t, miss=miss, position=position, normal=normal,
-                          material_id=idx, front_face=d.dot(normal) < 0.0)
-            mat = MaterialLanes(
-                base_color=Vec3(mats[0], mats[1], mats[2]),
-                metallic=mats[3], roughness=mats[4], ior=mats[5],
-                specular_transmission=mats[6],
-                emissive=Vec3(mats[7], mats[8], mats[9]),
-            )
-            radiance = Vec3.where(active_hit,
-                                  radiance + ray_color * mat.emissive, radiance)
+            # Harvest finished samples (gamma is per-sample: wgsl:226-228).
+            g = linear_to_gamma(radiance)
+            cr = cr + jnp.where(died, g.x, 0.0)
+            cg = cg + jnp.where(died, g.y, 0.0)
+            cb = cb + jnp.where(died, g.z, 0.0)
+            depth_fin = jnp.where(first_depth >= INF, fallback_far, first_depth)
+            dsum = dsum + jnp.where(died, depth_fin, 0.0)
+            segsum = segsum + jnp.where(active, 1.0, 0.0)
 
-            u_metal, u_trans, u_reflect, ball1, ball2 = provider.scatter_draws(b)
-            sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2,
-                         diffuse_mode=config.diffuse_sampling)
+            # Restart dead lanes on their next sample.
+            s_lane = s_lane + jnp.where(died, 1, 0)
+            need = died & (s_lane < spp)
+            o2, d2 = raygen(make_provider(s_lane))
+            o = Vec3.where(need, o2, o)
+            d = Vec3.where(need, d2, d)
+            one3 = Vec3.full((), 1.0, 1.0, 1.0)
+            ray_color = Vec3.where(died, one3, ray_color)
+            radiance = Vec3.where(died, Vec3.full((), 0.0, 0.0, 0.0), radiance)
+            first_depth = jnp.where(died, INF, first_depth)
+            b_lane = jnp.where(cont, b_lane + 1, jnp.where(died, 0, b_lane))
+            return (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
+                    cr, cg, cb, dsum, segsum)
 
-            cont = active_hit & ~sc.absorbed
-            ray_color = Vec3.where(cont, ray_color * sc.attenuation, ray_color)
-            o = Vec3.where(active_hit, hit.position, o)
-            d = Vec3.where(active_hit, sc.direction, d)
-            segs = segs + jnp.where(active, 1.0, 0.0)
-            return (b + 1, o, d, ray_color, radiance, jnp.where(cont, 1.0, 0.0),
-                    first_depth, segs)
-
-        n = (TILE_SUB, 128)
-        init = (jnp.int32(0), o, d,
+        s0 = jnp.where(in_image, 0, spp).astype(jnp.int32)
+        o0, d0 = raygen(make_provider(s0))
+        init = (s0, jnp.zeros(n, jnp.int32), o0, d0,
                 Vec3.full(n, 1.0, 1.0, 1.0), Vec3.full(n, 0.0, 0.0, 0.0),
-                jnp.where(in_image, 1.0, 0.0), jnp.full(n, INF, jnp.float32),
-                jnp.zeros(n, jnp.float32))
-        (_, _, _, _, radiance, active_f, first_depth, segs) = (
+                jnp.full(n, INF, jnp.float32),
+                zero2, zero2, zero2, zero2, zero2)
+        (_, _, _, _, _, _, _, cr, cg, cb, dsum, segsum) = (
             jax.lax.while_loop(cond, body, init))
+    else:
+        # ---- classic per-sample loop (kept as a fallback/AB switch) ---------
+        def trace_one_sample(sample_idx):
+            """One sample for every ray in the tile (wgsl raytrace(), :174-224)."""
+            provider = make_provider(sample_idx)
+            o, d = raygen(provider)
 
-        # Exhausted/absorbed rays never added sky light (wgsl:215-217 blackness
-        # falls out of the radiance formulation for emissive-free scenes).
-        depth = jnp.where(first_depth >= INF, fallback_far, first_depth)
-        return linear_to_gamma(radiance), depth, segs
+            # The active mask is carried as f32: Mosaic's while-loop lowering
+            # is unreliable for i1 vector carries.
+            def cond(carry):
+                b, _, _, _, _, active_f, _, _ = carry
+                return (b <= config.bounces) & (jnp.max(active_f) > 0.0)
 
-    def sample_body(i, acc):
-        cr, cg, cb, dsum, segsum = acc
-        color, depth, segs = trace_one_sample(i)
-        return (cr + color.x, cg + color.y, cb + color.z, dsum + depth,
-                segsum + segs)
+            def body(carry):
+                b, o, d, ray_color, radiance, active_f, first_depth, segs = carry
+                active = active_f > 0.0
+                o, d, ray_color, radiance, first_depth, cont = bounce_core(
+                    o, d, active, b, provider, ray_color, radiance, first_depth)
+                segs = segs + jnp.where(active, 1.0, 0.0)
+                return (b + 1, o, d, ray_color, radiance,
+                        jnp.where(cont, 1.0, 0.0), first_depth, segs)
 
-    zero2 = jnp.zeros((TILE_SUB, 128), jnp.float32)
-    cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
-        0, config.samples_per_pixel, sample_body,
-        (zero2, zero2, zero2, zero2, zero2))
+            init = (jnp.int32(0), o, d,
+                    Vec3.full(n, 1.0, 1.0, 1.0), Vec3.full(n, 0.0, 0.0, 0.0),
+                    jnp.where(in_image, 1.0, 0.0), jnp.full(n, INF, jnp.float32),
+                    jnp.zeros(n, jnp.float32))
+            (_, _, _, _, radiance, active_f, first_depth, segs) = (
+                jax.lax.while_loop(cond, body, init))
+
+            depth = jnp.where(first_depth >= INF, fallback_far, first_depth)
+            return linear_to_gamma(radiance), depth, segs
+
+        def sample_body(i, acc):
+            acr, acg, acb, adsum, asegsum = acc
+            color, depth, segs = trace_one_sample(i)
+            return (acr + color.x, acg + color.y, acb + color.z, adsum + depth,
+                    asegsum + segs)
+
+        cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
+            0, config.samples_per_pixel, sample_body,
+            (zero2, zero2, zero2, zero2, zero2))
 
     inv_spp = (np.float32(1.0 / config.samples_per_pixel) if normalize
                else np.float32(1.0))
@@ -720,7 +792,8 @@ def unshuffle_blocks(flat, config: RenderConfig):
 
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                  frame_seed, exact_rng: bool = False, block_offset=0,
-                 sample_offset=0, n_blocks_local=None, normalize: bool = True):
+                 sample_offset=0, n_blocks_local=None, normalize: bool = True,
+                 persistent: bool = True):
     """Run the megakernel over the frame (or one shard of it when
     ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
     multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
@@ -748,7 +821,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         exact_rng = True
     kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s,
                                n_tris_padded=n_tris, exact_rng=exact_rng,
-                               normalize=normalize)
+                               persistent=persistent, normalize=normalize)
     tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
