@@ -53,7 +53,8 @@ from ..shade import scatter
 
 TILE_SUB = 32          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
-BLOCK = 64             # square pixel-block edge; BLOCK*BLOCK == TILE
+BLOCK_W = 64           # pixel-block width;  BLOCK_W*BLOCK_H == TILE
+BLOCK_H = 64           # pixel-block height
 SPHERE_CHUNK = 128     # sphere-table capacity granularity (lane multiple)
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
@@ -229,7 +230,7 @@ GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
 def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
-                       active, n_spheres: int, unroll: int = 8):
+                       active, n_spheres: int, unroll: int = GROUP):
     """Scalar-loop intersection with per-tile group culling.
 
     One sphere at a time streams as SMEM scalars (the one place dynamic scalar
@@ -259,15 +260,15 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
         cx = sph_ref[0, s]
         cy = sph_ref[1, s]
         cz = sph_ref[2, s]
-        r = sph_ref[3, s]   # |radius| — negative radii are legal (hollow-glass
-        ocx = cx - ox       # trick); hit_sphere only squares r (wgsl:375), so
-        ocy = cy - oy       # the table stores the absolute value and keeps
-        ocz = cz - oz       # r > 0 as the padding test (padding lanes are 0).
+        r2 = sph_ref[3, s]  # radius² — sign-free (negative radii / hollow-
+        ocx = cx - ox       # glass are legal; hit_sphere only squares r,
+        ocy = cy - oy       # wgsl:375). No validity test: padding lanes
+        ocz = cz - oz       # duplicate sphere 0 and lose every strict-< tie.
         h = dx * ocx + dy * ocy + dz * ocz
-        cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
         disc = h * h - a * cc
         t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a
-        better = ((disc >= 0.0) & (t > T_MIN) & (r > 0.0) & (t < best_t))
+        better = ((disc >= 0.0) & (t > T_MIN) & (t < best_t))
         best_t = jnp.where(better, t, best_t)
         best_i = jnp.where(better, s, best_i)
         return best_t, best_i
@@ -410,8 +411,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 1)
     block = block_offset + tile_id
     r = sub * 128 + lane                       # 0..4095 within the block
-    px = (block % nbx) * BLOCK + (r % BLOCK)
-    py = (block // nbx) * BLOCK + (r // BLOCK)
+    px = (block % nbx) * BLOCK_W + (r % BLOCK_W)
+    py = (block // nbx) * BLOCK_H + (r // BLOCK_W)
     width_f = cam_ref[0, C_WIDTH]
     width_i = width_f.astype(jnp.int32)
     height_i = cam_ref[0, C_HEIGHT].astype(jnp.int32)
@@ -645,7 +646,7 @@ class PallasScene(NamedTuple):
     triangles]; rows 0-2(+lo 3-5) hold sphere centers / triangle unit normals.
     """
 
-    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, |radius| (0 = padding)
+    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius² (0 = padding)
     attr: jnp.ndarray     # (N_ATTR, S+T) bf16: [c|n hi(3), c|n lo(3), m_hi, m_lo]
     gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
     tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
@@ -736,7 +737,19 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     if pad:
         attr = jnp.concatenate(
             [attr, jnp.zeros((pad, attr.shape[1]), jnp.bfloat16)], axis=0)
-    sph = jnp.stack([sp.cx, sp.cy, sp.cz, radius], axis=0)
+    # Padding lanes duplicate sphere 0 (first after the morton sort, live
+    # whenever the scene is non-empty): a duplicate's hit ties the real
+    # sphere's t bit-exactly and the strict t < best_t test keeps the earlier
+    # (real) index, so padding needs no per-sphere validity check in the hot
+    # loop. Empty scenes park padding at the origin with r² = -1e30, making
+    # disc < 0 by an unroundable margin.
+    r2 = radius * radius
+    pad_r2 = jnp.where(sp.valid[0], r2[0], jnp.float32(-1e30))
+    pad_c = [jnp.where(sp.valid[0], c[0], 0.0) for c in (sp.cx, sp.cy, sp.cz)]
+    sph = jnp.stack([jnp.where(sp.valid, sp.cx, pad_c[0]),
+                     jnp.where(sp.valid, sp.cy, pad_c[1]),
+                     jnp.where(sp.valid, sp.cz, pad_c[2]),
+                     jnp.where(sp.valid, r2, pad_r2)], axis=0)
 
     # Conservative per-group AABBs over the sorted order: center ± |radius|.
     # Padding lanes (radius 0) get inverted bounds so all-padding groups can
@@ -778,15 +791,15 @@ def _pack_camera(cam: CameraState, config: RenderConfig):
 
 
 def block_grid(config: RenderConfig):
-    """(nbx, nby): the 64×64 block grid covering the frame."""
-    return -(-config.width // BLOCK), -(-config.height // BLOCK)
+    """(nbx, nby): the BLOCK_W×BLOCK_H pixel-block grid covering the frame."""
+    return -(-config.width // BLOCK_W), -(-config.height // BLOCK_H)
 
 
 def unshuffle_blocks(flat, config: RenderConfig):
     """Block-ordered kernel output → row-major [H*W] pixels."""
     nbx, nby = block_grid(config)
-    img = flat[:nbx * nby * TILE].reshape(nby, nbx, BLOCK, BLOCK)
-    img = img.transpose(0, 2, 1, 3).reshape(nby * BLOCK, nbx * BLOCK)
+    img = flat[:nbx * nby * TILE].reshape(nby, nbx, BLOCK_H, BLOCK_W)
+    img = img.transpose(0, 2, 1, 3).reshape(nby * BLOCK_H, nbx * BLOCK_W)
     return img[:config.height, :config.width].reshape(-1)
 
 
