@@ -255,8 +255,10 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
     idy = 1.0 / dy
     idz = 1.0 / dz
     active_f = jnp.where(active, 1.0, 0.0)
+    q_min = a * T_MIN           # the loop compares q = a·t (same ordering,
+                                # a > 0) to avoid two muls per sphere
 
-    def one_sphere(s, best_t, best_i):
+    def one_sphere(s, best_q, best_i):
         cx = sph_ref[0, s]
         cy = sph_ref[1, s]
         cz = sph_ref[2, s]
@@ -267,16 +269,16 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
         h = dx * ocx + dy * ocy + dz * ocz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
         disc = h * h - a * cc
-        t = (h - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv_a
-        better = ((disc >= 0.0) & (t > T_MIN) & (t < best_t))
-        best_t = jnp.where(better, t, best_t)
+        q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+        better = ((disc >= 0.0) & (q > q_min) & (q < best_q))
+        best_q = jnp.where(better, q, best_q)
         best_i = jnp.where(better, s, best_i)
-        return best_t, best_i
+        return best_q, best_i
 
     n_groups = n_spheres // GROUP
 
     def group_body(g, carry):
-        best_t, best_i = carry
+        best_q, best_i = carry
         # Slab test of the whole ray tile vs this group's AABB (wgsl:387-398).
         tx1 = (gaabb_ref[0, g] - ox) * idx
         tx2 = (gaabb_ref[3, g] - ox) * idx
@@ -310,7 +312,9 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
     init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
             jnp.full((TILE_SUB, 128), -1, jnp.int32))
     assert n_spheres % GROUP == 0 and GROUP % unroll == 0
-    return jax.lax.fori_loop(0, n_groups, group_body, init)
+    best_q, best_i = jax.lax.fori_loop(0, n_groups, group_body, init)
+    best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
+    return best_t, best_i
 
 
 def _intersect_triangles_scalar(origin: Vec3, direction: Vec3, tri_ref,
