@@ -293,7 +293,9 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
                                         jnp.maximum(ty1, ty2)),
                             jnp.maximum(tz1, tz2))
         useful = ((t_far >= t_near) & (t_far > 0.0)
-                  & (t_near < best_t))   # box entry must beat the current hit
+                  # The carry is q = a·t, so the box-entry-beats-current-hit
+                  # test rescales t_near by a (a > 0 preserves the ordering).
+                  & (a * t_near < best_q))
         any_useful = jnp.max(jnp.where(useful, active_f, 0.0)) > 0.0
 
         def walk(carry):
@@ -307,7 +309,7 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
 
             return jax.lax.fori_loop(0, GROUP // unroll, body, (bt, bi))
 
-        return jax.lax.cond(any_useful, walk, lambda c: c, (best_t, best_i))
+        return jax.lax.cond(any_useful, walk, lambda c: c, (best_q, best_i))
 
     init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
             jnp.full((TILE_SUB, 128), -1, jnp.int32))
