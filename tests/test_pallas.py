@@ -164,3 +164,40 @@ def test_pallas_defocus_exact_parity():
     got = PallasRenderer(cfg).render(scene, cam, seed=8)
     np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
                                atol=5e-5)
+
+
+def test_persistent_matches_classic_loop():
+    """The persistent-sampling driver (lanes restart on their next sample)
+    must produce ulp-identical exact-RNG images to the classic per-sample
+    loop it replaced — draws are keyed by (pixel, sample, slot) in both."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevyray_tpu.kernels.pallas.megakernel import (prepare_pallas_scene,
+                                                       render_tiles,
+                                                       unshuffle_blocks)
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=3, bounces=4,
+                       level=3)
+    pscene = jax.jit(prepare_pallas_scene)(scene)
+
+    def run(persistent):
+        f = jax.jit(functools.partial(render_tiles, config=cfg, exact_rng=True,
+                                      persistent=persistent))
+        r, g, b, depth, segs = f(pscene, cam, frame_seed=jnp.uint32(9))
+        return (np.stack([np.asarray(unshuffle_blocks(x, cfg))
+                          for x in (r, g, b)], -1),
+                np.asarray(unshuffle_blocks(depth, cfg)), float(segs))
+
+    ip, dp_, sp_ = run(True)
+    ic, dc, sc_ = run(False)
+    # Same draws per (pixel, sample, slot); only XLA fma contraction differs
+    # between the two loop shapes, so agreement is ulp-level, not bitwise.
+    np.testing.assert_allclose(ip, ic, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(dp_, dc, rtol=1e-6, atol=1e-5)
+    assert sp_ == sc_
