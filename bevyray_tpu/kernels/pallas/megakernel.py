@@ -17,6 +17,18 @@ Design notes (constraints/costs measured on TPU v5e by probing + ablation):
   (the kernel was memory-bound and completely insensitive to arithmetic
   changes; 2× tile size hit Mosaic's 16 MB scoped-vmem limit outright).
   No per-lane gathers and no dynamic VMEM indexing anywhere (neither lowers).
+  The loop is scalar/vector co-bottlenecked: slicing the tile into (8, 128)
+  rows for finer culling quadrupled SMEM scalar traffic and ran 1.44× slower.
+- **Persistent sampling**: a lane whose path ends immediately starts its
+  pixel's next sample inside the same while loop, instead of idling masked
+  until the slowest path of every sample finishes — lockstep occupancy ~74%
+  vs ~50% for the classic spp×(bounces+1) loop (1.28× frame time). The
+  classic loop is kept behind ``persistent=False`` for A/B.
+- The nearest-hit carry stores q = a·t (a = |d|² > 0 preserves ordering), the
+  sphere table stores radius², and padding lanes duplicate sphere 0 (a
+  duplicate ties bit-exactly and loses the strict t < best test) — together
+  the per-sphere test is ~23 vector ops, which runs at VPU speed-of-light
+  for the effective test count.
 - Winning-sphere attributes are fetched with **one-hot MXU matmuls**: all
   attributes (centers + materials, each split bf16 hi/lo for f32 accuracy — the
   MXU truncates inputs to bf16) live in ONE combined table, one matmul per ray
