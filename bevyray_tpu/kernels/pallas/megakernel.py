@@ -67,6 +67,7 @@ TILE_SUB = 32          # sublanes per tile
 TILE = TILE_SUB * 128  # rays per kernel instance
 BLOCK_W = 64           # pixel-block width;  BLOCK_W*BLOCK_H == TILE
 BLOCK_H = 64           # pixel-block height
+assert BLOCK_W * BLOCK_H == TILE, "pixel blocks must tile exactly onto rays"
 SPHERE_CHUNK = 128     # sphere-table capacity granularity (lane multiple)
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
@@ -247,10 +248,13 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
 
     One sphere at a time streams as SMEM scalars (the one place dynamic scalar
     indexing lowers; dynamic VMEM scalar reads crash this Mosaic) against
-    register-resident (TILE_SUB, 128) ray tiles — ~15 ops per sphere with all
-    temps in vector registers. Semantics identical to
-    kernels.intersect.intersect_spheres (near root only, t > 0.001, nearest
-    wins, earliest index on ties; zero radius marks padding).
+    register-resident (TILE_SUB, 128) ray tiles — ~23 vector ops per sphere
+    with all temps in vector registers. Value-equivalent to
+    kernels.intersect.intersect_spheres (near root only, nearest wins), but
+    the comparisons run in q = a·t space (q > a·T_MIN, strict q < best), so
+    1-ulp borderline hits can resolve differently from the t-space XLA path;
+    padding lanes are sphere-0 duplicates that lose every strict-< tie (see
+    prepare_pallas_scene), not zero-radius entries.
 
     Spheres are pre-sorted (scene prep) into GROUP-sized morton-ordered groups
     with precomputed AABBs (``gaabb_ref``: SMEM (6, n_groups) = min xyz, max
@@ -557,8 +561,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         # idling masked until the slowest path of every sample finishes.
         # Lockstep iterations drop from spp*(bounces+1) to ~total path length
         # plus a small straggler tail. Draw streams stay keyed by
-        # (pixel, sample, slot), so exact-RNG images are bit-identical to the
-        # per-sample loop.
+        # (pixel, sample, slot); exact-RNG images agree with the per-sample
+        # loop to fma-contraction ulps (the two loop shapes compile with
+        # different fusion, so agreement is ulp-level, not bitwise).
         def cond(carry):
             return jnp.min(carry[0]) < spp
 
@@ -592,7 +597,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             ray_color = Vec3.where(died, one3, ray_color)
             radiance = Vec3.where(died, Vec3.full((), 0.0, 0.0, 0.0), radiance)
             first_depth = jnp.where(died, INF, first_depth)
-            b_lane = jnp.where(cont, b_lane + 1, jnp.where(died, 0, b_lane))
+            # Every non-continuing lane restarts at bounce 0 (inactive lanes'
+            # b_lane is never read and is reset here too).
+            b_lane = jnp.where(cont, b_lane + 1, 0)
             return (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
                     cr, cg, cb, dsum, segsum)
 
@@ -664,7 +671,8 @@ class PallasScene(NamedTuple):
     triangles]; rows 0-2(+lo 3-5) hold sphere centers / triangle unit normals.
     """
 
-    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius² (0 = padding)
+    sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius² (padding lanes
+                          # duplicate sphere 0; -1e30 r² in empty scenes)
     attr: jnp.ndarray     # (N_ATTR, S+T) bf16: [c|n hi(3), c|n lo(3), m_hi, m_lo]
     gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
     tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
@@ -708,11 +716,14 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     sp = type(sp)(*(leaf[order] for leaf in sp))
 
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
-    # |radius|: the hit test only squares it, and storing the absolute value
-    # keeps r > 0 as the padding test while negative radii (hollow-glass
-    # bubbles) still intersect.
+    # Padding lanes duplicate sphere 0 EVERYWHERE — geometry (sph below),
+    # center, and material — so even if a duplicate ever wins a borderline
+    # fp tie (e.g. group 0 falsely slab-culled by a NaN from an axis-aligned
+    # ray on a box face), shading is exactly sphere 0's shading, not garbage.
+    mid = jnp.where(sp.valid, mid, mid[0])
     radius = jnp.where(sp.valid, jnp.abs(sp.radius), 0.0)
-    center = jnp.stack([sp.cx, sp.cy, sp.cz], axis=0)
+    center = jnp.stack([jnp.where(sp.valid, c, jnp.where(sp.valid[0], c[0], 0.0))
+                        for c in (sp.cx, sp.cy, sp.cz)], axis=0)
 
     def mat_rows(ids):
         return jnp.stack([
