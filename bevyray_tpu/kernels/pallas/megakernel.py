@@ -69,6 +69,7 @@ BLOCK_W = 64           # pixel-block width;  BLOCK_W*BLOCK_H == TILE
 BLOCK_H = 64           # pixel-block height
 assert BLOCK_W * BLOCK_H == TILE, "pixel blocks must tile exactly onto rays"
 SPHERE_CHUNK = 128     # sphere-table capacity granularity (lane multiple)
+SUPER = 8              # groups per supergroup (two-level culling, big scenes)
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
 _C_HI, _C_LO = 0, 3            # cx, cy, cz
@@ -293,15 +294,15 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
 
     n_groups = n_spheres // GROUP
 
-    def group_body(g, carry):
-        best_q, best_i = carry
-        # Slab test of the whole ray tile vs this group's AABB (wgsl:387-398).
-        tx1 = (gaabb_ref[0, g] - ox) * idx
-        tx2 = (gaabb_ref[3, g] - ox) * idx
-        ty1 = (gaabb_ref[1, g] - oy) * idy
-        ty2 = (gaabb_ref[4, g] - oy) * idy
-        tz1 = (gaabb_ref[2, g] - oz) * idz
-        tz2 = (gaabb_ref[5, g] - oz) * idz
+    def any_box_useful(col, best_q):
+        """Can any live ray improve its hit inside AABB column ``col`` of
+        gaabb_ref? (slab test, wgsl:387-398)"""
+        tx1 = (gaabb_ref[0, col] - ox) * idx
+        tx2 = (gaabb_ref[3, col] - ox) * idx
+        ty1 = (gaabb_ref[1, col] - oy) * idy
+        ty2 = (gaabb_ref[4, col] - oy) * idy
+        tz1 = (gaabb_ref[2, col] - oz) * idz
+        tz2 = (gaabb_ref[5, col] - oz) * idz
         t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
                                          jnp.minimum(ty1, ty2)),
                              jnp.minimum(tz1, tz2))
@@ -312,7 +313,10 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
                   # The carry is q = a·t, so the box-entry-beats-current-hit
                   # test rescales t_near by a (a > 0 preserves the ordering).
                   & (a * t_near < best_q))
-        any_useful = jnp.max(jnp.where(useful, active_f, 0.0)) > 0.0
+        return jnp.max(jnp.where(useful, active_f, 0.0)) > 0.0
+
+    def group_body(g, carry):
+        best_q, best_i = carry
 
         def walk(carry):
             bt, bi = carry
@@ -325,12 +329,33 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
 
             return jax.lax.fori_loop(0, GROUP // unroll, body, (bt, bi))
 
-        return jax.lax.cond(any_useful, walk, lambda c: c, (best_q, best_i))
+        return jax.lax.cond(any_box_useful(g, best_q), walk, lambda c: c,
+                            (best_q, best_i))
 
     init = (jnp.full((TILE_SUB, 128), INF, jnp.float32),
             jnp.full((TILE_SUB, 128), -1, jnp.int32))
     assert n_spheres % GROUP == 0 and GROUP % unroll == 0
-    best_q, best_i = jax.lax.fori_loop(0, n_groups, group_body, init)
+    if n_groups >= 4 * SUPER:
+        # Two-level walk for big scenes: supergroup AABBs (columns
+        # n_groups + gs of gaabb_ref, built by prepare_pallas_scene) gate a
+        # span of SUPER groups with one slab test, so a coherent tile skips
+        # whole morton neighborhoods instead of one group at a time.
+        n_super = -(-n_groups // SUPER)
+
+        def super_body(gs, carry):
+            best_q, _ = carry
+
+            def walk_span(c):
+                lo = gs * SUPER
+                hi = jnp.minimum(lo + SUPER, n_groups)
+                return jax.lax.fori_loop(lo, hi, group_body, c)
+
+            return jax.lax.cond(any_box_useful(n_groups + gs, best_q),
+                                walk_span, lambda c: c, carry)
+
+        best_q, best_i = jax.lax.fori_loop(0, n_super, super_body, init)
+    else:
+        best_q, best_i = jax.lax.fori_loop(0, n_groups, group_body, init)
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i
 
@@ -674,7 +699,8 @@ class PallasScene(NamedTuple):
     sph: jnp.ndarray      # (4, S) f32: cx, cy, cz, radius² (padding lanes
                           # duplicate sphere 0; -1e30 r² in empty scenes)
     attr: jnp.ndarray     # (N_ATTR, S+T) bf16: [c|n hi(3), c|n lo(3), m_hi, m_lo]
-    gaabb: jnp.ndarray    # (6, S // GROUP) f32: group min xyz, max xyz
+    gaabb: jnp.ndarray    # (6, n_groups [+ n_super]) f32: AABB min/max xyz
+                          # — supergroup columns appended for big scenes
     tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
 
 
@@ -794,9 +820,29 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     gmax = jnp.max(maxs.reshape(3, n_groups, GROUP), axis=2)
     # Replace infinities (all-padding groups) with an inverted unit box.
     empty = ~jnp.isfinite(gmin[0])
-    gmin = jnp.where(empty[None, :], 1.0, gmin)
-    gmax = jnp.where(empty[None, :], -1.0, gmax)
-    gaabb = jnp.concatenate([gmin, gmax], axis=0)
+    gmin_f = jnp.where(empty[None, :], 1.0, gmin)
+    gmax_f = jnp.where(empty[None, :], -1.0, gmax)
+    gaabb = jnp.concatenate([gmin_f, gmax_f], axis=0)
+    if n_groups >= 4 * SUPER:
+        # Supergroup AABBs for the kernel's two-level walk: min/max over
+        # SUPER-group spans, appended as extra columns (the kernel addresses
+        # supergroup gs at column n_groups + gs). Built from the pre-fill
+        # (inf/-inf) group bounds so empty spans invert too.
+        n_super = -(-n_groups // SUPER)
+        pad_g = n_super * SUPER - n_groups
+        if pad_g:
+            gmin = jnp.concatenate(
+                [gmin, jnp.full((3, pad_g), jnp.inf)], axis=1)
+            gmax = jnp.concatenate(
+                [gmax, jnp.full((3, pad_g), -jnp.inf)], axis=1)
+        smin = jnp.min(gmin.reshape(3, n_super, SUPER), axis=2)
+        smax = jnp.max(gmax.reshape(3, n_super, SUPER), axis=2)
+        sempty = ~jnp.isfinite(smin[0])
+        smin = jnp.where(sempty[None, :], 1.0, smin)
+        smax = jnp.where(sempty[None, :], -1.0, smax)
+        gaabb = jnp.concatenate(
+            [jnp.concatenate([gmin_f, smin], axis=1),
+             jnp.concatenate([gmax_f, smax], axis=1)], axis=0)
     return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri)
 
 
@@ -875,7 +921,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, s // GROUP), lambda i: (0, 0),
+            pl.BlockSpec((6, pscene.gaabb.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((10, max(n_tris, 1)), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
