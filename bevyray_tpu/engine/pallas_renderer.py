@@ -52,8 +52,16 @@ class PallasRenderer:
     """Drop-in replacement for engine.Renderer using the fused megakernel.
 
     ``exact_rng``: use the counter-based PCG streams shared with the XLA renderer
-    and oracle (bit-comparable, slower). Defaults to exact off-TPU (so interpret
+    and oracle (identical DRAWS, slower). Defaults to exact off-TPU (so interpret
     tests pin the logic) and the fast hardware PRNG on real TPUs.
+
+    Exactness scope (measured): the PCG streams and the exact Box–Muller ball
+    sampler are bit-identical between Mosaic and XLA, but the surrounding
+    render arithmetic differs at the ulp level (fma contraction, rsqrt), which
+    chaotically flips hit/branch decisions on a small pixel set — on a real
+    TPU expect ~95% of pixels to match the XLA renderer to 1e-3 and a mean
+    error ~4e-4 at low spp; in CPU interpret mode (same XLA ops) images match
+    to ~1e-6. Compare with tolerances, per sample count.
     """
 
     def __init__(self, config: RenderConfig, exact_rng: Optional[bool] = None):
