@@ -33,19 +33,35 @@ class Film(NamedTuple):
     rays_traced: jnp.ndarray  # f32 scalar — total segments ever traced
 
 
-def save_film(path: str, film: Film) -> None:
+def save_film(path: str, film: Film, config: Optional[RenderConfig] = None) -> None:
     """Checkpoint the accumulation state (the framework's persistent state —
-    SURVEY.md §5 notes the reference has none). Plain .npz, host round-trip."""
+    SURVEY.md §5 notes the reference has none). Plain .npz, host round-trip.
+    When ``config`` is given, width/height are stored so a resume into a
+    different-geometry config fails loudly instead of garbling the image."""
+    extra = {}
+    if config is not None:
+        extra = {"width": np.int64(config.width), "height": np.int64(config.height)}
     np.savez(path, color_x=np.asarray(film.color_sum.x),
              color_y=np.asarray(film.color_sum.y),
              color_z=np.asarray(film.color_sum.z),
              depth=np.asarray(film.depth_sum),
              n_samples=np.asarray(film.n_samples),
-             rays_traced=np.asarray(film.rays_traced))
+             rays_traced=np.asarray(film.rays_traced), **extra)
 
 
-def load_film(path: str) -> Film:
+def load_film(path: str, config: Optional[RenderConfig] = None) -> Film:
     z = np.load(path)
+    if config is not None:
+        if "width" in z:
+            w, h = int(z["width"]), int(z["height"])
+            if (w, h) != (config.width, config.height):
+                raise ValueError(
+                    f"film checkpoint {path!r} is {w}x{h} but the renderer "
+                    f"config is {config.width}x{config.height}")
+        elif z["color_x"].shape[0] != config.n_pixels:
+            raise ValueError(
+                f"film checkpoint {path!r} has {z['color_x'].shape[0]} pixels "
+                f"but the renderer config expects {config.n_pixels}")
     return Film(color_sum=Vec3(jnp.asarray(z["color_x"]), jnp.asarray(z["color_y"]),
                                jnp.asarray(z["color_z"])),
                 depth_sum=jnp.asarray(z["depth"]),
@@ -168,13 +184,13 @@ class ProgressiveRenderer:
             self.reset()
             self._last_cam_key = key
         if self.backend == "pallas":
-            from ..kernels.pallas.megakernel import prepare_pallas_scene
+            from ..kernels.pallas.megakernel import (prepare_pallas_scene,
+                                                     pscene_cache_key)
 
-            leaves = jax.tree.leaves(scene.spheres)
-            sid = tuple(id(x) for x in leaves)
+            # Key on all leaves prepare_pallas_scene bakes in (spheres,
+            # materials, triangles); keep them alive so ids stay unique.
+            sid, leaves = pscene_cache_key(scene)
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
-                # Keep the keyed leaves alive: ids of collected arrays can be
-                # recycled, which would serve stale geometry for a new scene.
                 self._prepare_cache = (sid, leaves,
                                        jax.jit(prepare_pallas_scene)(scene))
             self.film = self._accumulate(
@@ -201,11 +217,12 @@ class ProgressiveRenderer:
 
     # -- checkpoint / resume -----------------------------------------------------
     def save(self, path: str) -> None:
-        save_film(path, self.film)
+        save_film(path, self.film, self.config)
 
     def load(self, path: str, cam: CameraState) -> None:
         """Resume accumulation from a checkpoint taken with the same config and
-        camera; subsequent steps continue the sample-index sequence exactly."""
-        self.film = load_film(path)
+        camera; subsequent steps continue the sample-index sequence exactly.
+        Raises ValueError on a width/height mismatch with this config."""
+        self.film = load_film(path, self.config)
         self._sample_offset = int(np.asarray(self.film.n_samples))
         self._last_cam_key = self._cam_key(cam)

@@ -13,7 +13,8 @@ from ..core.types import CameraState, RenderConfig, SceneBuffers
 from ..core.vec import Vec3
 from ..kernels.composite import composite
 from ..kernels.pallas.megakernel import (PallasScene, prepare_pallas_scene,
-                                         render_tiles, unshuffle_blocks)
+                                         pscene_cache_key, render_tiles,
+                                         unshuffle_blocks)
 from .renderer import FrameResult
 
 
@@ -73,14 +74,14 @@ class PallasRenderer:
         self._pscene_cache = None
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:
-        leaves = jax.tree.leaves(scene.spheres)
-        key = tuple(id(leaf) for leaf in leaves)
+        # Key on every leaf that feeds prepare_pallas_scene (spheres AND
+        # materials AND triangles) — a scene reusing sphere arrays with
+        # replaced shading data must miss. Leaves are retained because id()
+        # values are only unique among live objects.
+        key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
             return self._pscene_cache[2]
         pscene = jax.jit(prepare_pallas_scene)(scene)
-        # Retain the keyed leaves: id() values are only unique among live
-        # objects, so a cache keyed on ids of collected arrays could collide
-        # with a brand-new scene and serve stale geometry.
         self._pscene_cache = (key, leaves, pscene)
         return pscene
 

@@ -39,24 +39,38 @@ def _draw_ball(stream, base, first_slot):
     return rng.unit_ball_from_uniforms(*us)
 
 
+def resolve_intersect_backend(scene: SceneBuffers, config: RenderConfig) -> str:
+    """Resolve ``'auto'`` to a concrete backend ONCE, considering all primitive
+    types, so the sphere and triangle paths agree (a triangle-heavy scene must
+    not brute-force its triangles just because the sphere table is small)."""
+    backend = config.intersect_backend
+    if backend == "auto":
+        cap = scene.spheres.capacity
+        if scene.triangles is not None:
+            cap = max(cap, scene.triangles.capacity)
+        has_bvh = scene.bvh is not None or scene.tri_bvh is not None
+        backend = "bvh" if (has_bvh and cap > 4096) else "brute"
+    return backend
+
+
 def make_intersect_fn(scene: SceneBuffers, config: RenderConfig):
-    """Pick the intersection backend (static decision, shapes are static).
+    """Pick the sphere intersection backend (static decision, shapes static).
 
     - ``brute``: dense chunked all-pairs tests — the TPU fast path (pure VPU
       elementwise work, zero gathers) for reference-scale scenes;
     - ``bvh``: flattened-BVH stack traversal (kernels/traverse.py) — wins for large
       scenes where O(n) loses to O(log n) despite the gathers.
     """
-    backend = config.intersect_backend
-    if backend == "auto":
-        backend = "brute" if (scene.bvh is None
-                              or scene.spheres.capacity <= 4096) else "bvh"
+    backend = resolve_intersect_backend(scene, config)
     if backend == "bvh":
         if scene.bvh is None:
-            raise ValueError("bvh backend requested but scene has no BVH")
-        from ..kernels.traverse import intersect_bvh
+            if config.intersect_backend == "bvh":
+                raise ValueError("bvh backend requested but scene has no BVH")
+            backend = "brute"  # auto resolved bvh for triangles; spheres lack one
+        else:
+            from ..kernels.traverse import intersect_bvh
 
-        return lambda o, d: intersect_bvh(o, d, scene.spheres, scene.bvh)
+            return lambda o, d: intersect_bvh(o, d, scene.spheres, scene.bvh)
     return lambda o, d: intersect_spheres(o, d, scene.spheres, config.sphere_chunk)
 
 
@@ -75,6 +89,7 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
     """
     if intersect_fn is None:
         intersect_fn = make_intersect_fn(scene, config)
+    resolved_backend = resolve_intersect_backend(scene, config)
     stream = rng.stream_init(pixel_ids, sample_index, frame_seed)
     ju = rng.draw(stream, np.uint32(slots.JITTER_U))
     jv = rng.draw(stream, np.uint32(slots.JITTER_V))
@@ -127,7 +142,7 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
         if scene.triangles is not None:
             from ..kernels.intersect import (intersect_triangles, merge_hits,
                                              triangle_hit_info)
-            if config.intersect_backend == "bvh" and scene.tri_bvh is not None:
+            if resolved_backend == "bvh" and scene.tri_bvh is not None:
                 from ..kernels.traverse import intersect_bvh_triangles
                 tt, ti = intersect_bvh_triangles(c.origin, c.direction,
                                                  scene.triangles, scene.tri_bvh)

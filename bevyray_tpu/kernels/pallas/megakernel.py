@@ -728,6 +728,14 @@ def _morton_key(x, y, z, radius, valid):
     return jnp.where(valid, key, jnp.int32(2**31 - 1))
 
 
+def pscene_cache_key(scene: SceneBuffers):
+    """(key, leaves) identifying everything ``prepare_pallas_scene`` bakes into
+    the table: spheres AND materials AND triangles. Callers must keep ``leaves``
+    alive alongside the key — id() values are only unique among live objects."""
+    leaves = jax.tree.leaves((scene.spheres, scene.materials, scene.triangles))
+    return tuple(id(x) for x in leaves), leaves
+
+
 def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     """Resolve material indirection to a dense per-primitive table and split
     bf16x2.

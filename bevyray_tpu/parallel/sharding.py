@@ -113,10 +113,10 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
     sp, dp, tp = (mesh.shape[a] for a in AXES)
     n = config.n_pixels
     if n % sp != 0:
-        raise ValueError(f"pixel count {n} must divide sp={sp}")
+        raise ValueError(f"pixel count {n} must be divisible by sp={sp}")
     if config.samples_per_pixel % dp != 0:
         raise ValueError(
-            f"spp {config.samples_per_pixel} must divide dp={dp}")
+            f"spp {config.samples_per_pixel} must be divisible by dp={dp}")
     local_spp = config.samples_per_pixel // dp
 
     def body(scene, cam, u, v, pixel_ids, frame_seed):

@@ -63,6 +63,52 @@ def test_variance_decreases_with_accumulation():
     assert err_last < err_first
 
 
+def test_load_rejects_mismatched_resolution(tmp_path):
+    """A checkpoint taken at one geometry must not resume into another, even when
+    the pixel counts match (would silently garble the image otherwise)."""
+    import pytest
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=24, height=12, samples_per_pixel=1, bounces=2, level=3)
+    prog = ProgressiveRenderer(cfg)
+    prog.step(scene, cam, seed=1)
+    path = str(tmp_path / "film.npz")
+    prog.save(path)
+
+    swapped = RenderConfig(width=12, height=24, samples_per_pixel=1, bounces=2,
+                           level=3)
+    other = ProgressiveRenderer(swapped)
+    with pytest.raises(ValueError, match="24x12"):
+        other.load(path, cam)
+
+    # Same geometry resumes fine.
+    again = ProgressiveRenderer(cfg)
+    again.load(path, cam)
+    assert again.samples_accumulated == 1
+
+
+def test_pallas_film_cache_sees_material_swap():
+    """Replacing materials while reusing the same sphere arrays must invalidate
+    the prepared-scene cache (regression: cache was keyed on spheres only)."""
+    import jax.tree_util as jtu
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounces=2, level=3)
+
+    prog = ProgressiveRenderer(cfg, backend="pallas")
+    a = np.asarray(prog.step(scene, cam, seed=5).image)
+
+    black = scene._replace(
+        materials=jtu.tree_map(lambda x: x * 0.0, scene.materials))
+    prog.reset()
+    b = np.asarray(prog.step(black, cam, seed=5).image)
+    assert np.abs(a - b).max() > 0.1  # stale cache would reproduce `a` exactly
+
+
 def test_pallas_progressive_matches_xla_backend():
     """Megakernel-backed accumulation (exact RNG in interpret) must match the
     XLA-backend film pass for pass."""
