@@ -48,6 +48,16 @@ def _config(args):
                         diffuse_sampling=args.diffuse_sampling)
 
 
+def _raster_buffers(world, cam, config):
+    """Rasterize the world's raster-only entities (the reference's cube,
+    main.rs:76-85) for the hybrid modes; (None, None) = plain clear color."""
+    if config.level >= 3 or world.n_raster == 0:
+        return None, None
+    from ..engine.raster import raster_layer
+
+    return raster_layer(world, cam, config)
+
+
 def _make_renderer(args, config):
     if args.backend == "pallas":
         from ..engine.pallas_renderer import PallasRenderer
@@ -68,9 +78,11 @@ def cmd_render(args):
     scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
     renderer = _make_renderer(args, config)
+    raster_color, raster_depth = _raster_buffers(world, cam, config)
 
     t0 = time.perf_counter()
-    frame = renderer.render(scene, cam, seed=args.seed)
+    frame = renderer.render(scene, cam, seed=args.seed,
+                            raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
     dt = time.perf_counter() - t0
     write_png(args.out, np.asarray(frame.image))
@@ -92,9 +104,11 @@ def cmd_accumulate(args):
     cam = world.camera_state(aspect=args.width / args.height)
     prog = ProgressiveRenderer(
         config, backend="pallas" if args.backend == "pallas" else "xla")
+    raster_color, raster_depth = _raster_buffers(world, cam, config)
     frame = None
     for i in range(args.passes):
-        frame = prog.step(scene, cam, seed=args.seed + i)
+        frame = prog.step(scene, cam, seed=args.seed + i,
+                          raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
     write_png(args.out, np.asarray(frame.image))
     print(f"accumulated {prog.samples_accumulated} spp -> {args.out}")
@@ -109,15 +123,19 @@ def cmd_bench(args):
     scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
     renderer = _make_renderer(args, config)
+    raster_color, raster_depth = _raster_buffers(world, cam, config)
 
-    frame = renderer.render(scene, cam, seed=0)
+    frame = renderer.render(scene, cam, seed=0,
+                            raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
     rays = float(frame.rays_traced)
 
     times = []
     for i in range(args.frames):
         t0 = time.perf_counter()
-        frame = renderer.render(scene, cam, seed=i + 1)
+        frame = renderer.render(scene, cam, seed=i + 1,
+                                raster_color=raster_color,
+                                raster_depth=raster_depth)
         jax.block_until_ready(frame.image)
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))

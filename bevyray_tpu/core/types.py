@@ -174,6 +174,10 @@ class RenderConfig:
     intersect_backend: str = "auto"  # "auto" | "brute" | "bvh"
     defocus: bool = False        # thin-lens blur (uses cam.aperture/focus_distance)
     diffuse_sampling: str = "reference"  # "reference" | "cosine"
+    # Megakernel sphere walk: "grouped" = tile-unanimous group culling over the
+    # full table; "candidates" = per-lane group bitmasks + one-hot MXU group
+    # gathers (sublinear per ray, value-identical); "auto" picks per scene size.
+    pallas_intersect: str = "auto"   # "auto" | "grouped" | "candidates"
 
     @property
     def n_pixels(self) -> int:

@@ -243,6 +243,17 @@ class HwRngProvider:
 GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
+def _use_candidate_walk(config: RenderConfig, n_spheres_padded: int) -> bool:
+    """Static dispatch between the two megakernel sphere walks. ``auto`` keeps
+    the tile-unanimous grouped walk until the candidate walk is the measured
+    winner; scenes beyond MAX_CAND_GROUPS groups always use the grouped walk
+    (the single-i32 bitmask caps the candidate path)."""
+    n_groups = n_spheres_padded // GROUP
+    if config.pallas_intersect == "candidates":
+        return n_groups <= MAX_CAND_GROUPS
+    return False
+
+
 def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
                        active, n_spheres: int, unroll: int = GROUP):
     """Scalar-loop intersection with per-tile group culling.
@@ -360,6 +371,149 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
     return best_t, best_i
 
 
+# Bit masks for the lowest-set-bit → index extraction (i32; bit 31 unused, so
+# group counts on this path are capped at 31 and the top pattern stays positive).
+_LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
+                      (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00,
+                       0x7FFF0000))
+MAX_CAND_GROUPS = 31
+
+
+def _lsb_index(lsb):
+    """Index of the single set bit of ``lsb`` (i32, bits 0..30): 5-step binary
+    test — Mosaic-safe (int32 only; no u32↔f32 casts, no count ops)."""
+    idx = jnp.zeros(lsb.shape, jnp.int32)
+    for k, pat in enumerate(_LSB_PATTERNS):
+        idx = idx | jnp.where((lsb & pat) != 0, jnp.int32(1 << k), 0)
+    return idx
+
+
+def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
+                          active, n_spheres: int):
+    """Per-lane candidate-group walk — the sublinear alternative to
+    ``_intersect_grouped`` (capability twin of the reference's per-thread BVH
+    traversal, raytrace.wgsl:313-346, re-shaped for the VPU/MXU).
+
+    Every lane slab-tests all group AABBs once and packs the hits into an i32
+    bitmask, then walks ONLY its own candidate groups: per tile sublane-row and
+    candidate step, the lane's group id selects a one-hot column and one MXU
+    matmul gathers that group's GROUP-sphere block (exact f32 via a bf16
+    hi/mid/lo split summed by the matmul's f32 accumulator) as (GROUP, 128)
+    register tiles — spheres on sublanes × the row's 128 rays on lanes. The
+    sphere test itself is the same arithmetic as ``_intersect_grouped`` (q-space
+    carry, strict-< tie-keeping with ascending visit order), so results are
+    value-identical; only the visit SET differs, and the slab test is
+    conservative (a hittable sphere's group box is always entered).
+
+    Effective tests drop from n_spheres to ~(mean groups entered)·GROUP per
+    segment even for bounce-incoherent rays, where tile-unanimous culling
+    saves nothing (measured ~5%).
+    """
+    a = direction.dot(direction)
+    inv_a = 1.0 / a
+    ox, oy, oz = origin.x, origin.y, origin.z
+    dx, dy, dz = direction.x, direction.y, direction.z
+    idx = 1.0 / dx
+    idy = 1.0 / dy
+    idz = 1.0 / dz
+    q_min = a * T_MIN
+
+    n_groups = n_spheres // GROUP
+    assert n_groups <= MAX_CAND_GROUPS
+    g_pad = grp_table.shape[1] // 3
+
+    # ---- phase A: per-lane candidate bitmask (slab test per group AABB) ----
+    mask = jnp.zeros((TILE_SUB, 128), jnp.int32)
+    for g in range(n_groups):
+        tx1 = (gaabb_ref[0, g] - ox) * idx
+        tx2 = (gaabb_ref[3, g] - ox) * idx
+        ty1 = (gaabb_ref[1, g] - oy) * idy
+        ty2 = (gaabb_ref[4, g] - oy) * idy
+        tz1 = (gaabb_ref[2, g] - oz) * idz
+        tz2 = (gaabb_ref[5, g] - oz) * idz
+        t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                         jnp.minimum(ty1, ty2)),
+                             jnp.minimum(tz1, tz2))
+        t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                        jnp.maximum(ty1, ty2)),
+                            jnp.maximum(tz1, tz2))
+        useful = (t_far >= t_near) & (t_far > 0.0)
+        mask = mask | jnp.where(useful, jnp.int32(1 << g), 0)
+    mask = jnp.where(active, mask, 0)
+
+    # Group ids repeated for the hi|mid|lo column blocks (static concat — no
+    # vector modulo, which Mosaic lowers poorly).
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 128), 0)
+    iota_g3 = jnp.concatenate([iota_g, iota_g, iota_g], axis=0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+
+    best_q = jnp.full((TILE_SUB, 128), INF, jnp.float32)
+    best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
+
+    def walk_cond(carry):
+        return jnp.max(carry[0]) > 0
+
+    def walk_body(carry):
+        mask, bq, bi = carry
+        rows_m, rows_q, rows_i = [], [], []
+        for r in range(TILE_SUB):
+            row = mask[r:r + 1, :]
+
+            def do_row(c):
+                row, q_r, i_r = c
+                lsb = row & (-row)
+                g_row = _lsb_index(lsb)                       # (1, 128) i32
+                # One matmul sums the hi/mid/lo splits (all partial sums are
+                # exact in the f32 accumulator — see prepare_pallas_scene).
+                onehot = (iota_g3 == g_row).astype(jnp.bfloat16)
+                acc = jnp.dot(grp_table, onehot,
+                              preferred_element_type=jnp.float32)  # (128, 128)
+                cx = acc[0 * GROUP:1 * GROUP]
+                cy = acc[1 * GROUP:2 * GROUP]
+                cz = acc[2 * GROUP:3 * GROUP]
+                r2 = acc[3 * GROUP:4 * GROUP]
+                # Same test arithmetic as _intersect_grouped.one_sphere, with
+                # the row's ray data broadcast over the GROUP sublane-spheres.
+                ocx = cx - ox[r:r + 1, :]
+                ocy = cy - oy[r:r + 1, :]
+                ocz = cz - oz[r:r + 1, :]
+                h = (dx[r:r + 1, :] * ocx + dy[r:r + 1, :] * ocy
+                     + dz[r:r + 1, :] * ocz)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = h * h - a[r:r + 1, :] * cc
+                q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+                ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
+                qv = jnp.where(ok, q, INF)
+                iv = g_row * GROUP + iota_k                   # (GROUP, 128)
+                # Tree-reduce over the sphere sublanes; strict < keeps the
+                # lower-k (earlier) sphere on ties, matching the brute walk.
+                m = GROUP
+                while m > 1:
+                    m //= 2
+                    take = qv[m:2 * m] < qv[:m]
+                    qv = jnp.where(take, qv[m:2 * m], qv[:m])
+                    iv = jnp.where(take, iv[m:2 * m], iv[:m])
+                better = qv < q_r
+                q_r = jnp.where(better, qv, q_r)
+                i_r = jnp.where(better, iv, i_r)
+                return row & (row - 1), q_r, i_r
+
+            row2, q2, i2 = jax.lax.cond(jnp.max(row) > 0, do_row, lambda c: c,
+                                        (row, bq[r:r + 1, :], bi[r:r + 1, :]))
+            rows_m.append(row2)
+            rows_q.append(q2)
+            rows_i.append(i2)
+        # Rebuild the tile arrays by concatenation (dynamic_update_slice has no
+        # Mosaic lowering on this jax version).
+        return (jnp.concatenate(rows_m, axis=0), jnp.concatenate(rows_q, axis=0),
+                jnp.concatenate(rows_i, axis=0))
+
+    _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body,
+                                           (mask, best_q, best_i))
+    best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
+    return best_t, best_i
+
+
 def _intersect_triangles_scalar(origin: Vec3, direction: Vec3, tri_ref,
                                 n_tris: int, index_offset: int, best_t, best_i,
                                 unroll: int = 4):
@@ -436,8 +590,8 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
 
 
 def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
-                   out_r_ref, out_g_ref, out_b_ref, out_depth_ref, out_seg_ref,
-                   *, config: RenderConfig, n_spheres_padded: int,
+                   grp_ref, out_r_ref, out_g_ref, out_b_ref, out_depth_ref,
+                   out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
                    normalize: bool = True):
     tile_id = pl.program_id(0)
@@ -482,6 +636,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     frame_seed = seed_ref[0, 0]
 
     attr_table = attr_ref[:]
+    use_candidates = _use_candidate_walk(config, n_spheres_padded)
+    grp_table = grp_ref[:] if use_candidates else None
 
     spp = config.samples_per_pixel
 
@@ -528,8 +684,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         """One path segment for every lane: intersect, sky/emissive radiance,
         scatter. Returns the post-segment ray state plus hit/continue masks.
         ``b_vec`` may be a scalar (classic per-sample loop) or per-lane."""
-        t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
-                                    n_spheres_padded)
+        if use_candidates:
+            t, idx = _intersect_candidates(o, d, grp_table, gaabb_ref, active,
+                                           n_spheres_padded)
+        else:
+            t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
+                                        n_spheres_padded)
         if n_tris_padded:
             t, idx = _intersect_triangles_scalar(
                 o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
@@ -702,6 +862,9 @@ class PallasScene(NamedTuple):
     gaabb: jnp.ndarray    # (6, n_groups [+ n_super]) f32: AABB min/max xyz
                           # — supergroup columns appended for big scenes
     tri: jnp.ndarray      # (10, T) f32: ax..cz, valid — T=0 row dim if no meshes
+    grp: jnp.ndarray      # (4*GROUP, 3*g_pad) bf16 group-gather table: rows =
+                          # [cx|cy|cz|r²]·sphere-in-group, cols = hi|mid|lo
+                          # splits per group (exact f32 when matmul-summed)
 
 
 def _morton_key(x, y, z, radius, valid):
@@ -851,7 +1014,24 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
         gaabb = jnp.concatenate(
             [jnp.concatenate([gmin_f, smin], axis=1),
              jnp.concatenate([gmax_f, smax], axis=1)], axis=0)
-    return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri)
+
+    # Group-gather table for the candidate walk: (4*GROUP, 3*g_pad) bf16 where
+    # rows are [cx|cy|cz|r²] × sphere-in-group and each group's column is split
+    # hi/mid/lo so the one-hot matmul's f32 accumulator reconstructs the f32
+    # value EXACTLY (3×8 mantissa bits ≥ f32's 24; every partial sum of the
+    # three addends is representable, so accumulation order doesn't matter).
+    g_pad = max(8, -(-n_groups // 8) * 8)
+    blk = sph.reshape(4, n_groups, GROUP).transpose(0, 2, 1)
+    blk = blk.reshape(4 * GROUP, n_groups)
+    if g_pad > n_groups:
+        blk = jnp.concatenate(
+            [blk, jnp.zeros((4 * GROUP, g_pad - n_groups), jnp.float32)], axis=1)
+    hi = blk.astype(jnp.bfloat16)
+    res = blk - hi.astype(jnp.float32)
+    mid = res.astype(jnp.bfloat16)
+    lo = (res - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    grp = jnp.concatenate([hi, mid, lo], axis=1)
+    return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri, grp=grp)
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):
@@ -934,6 +1114,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             pl.BlockSpec((10, max(n_tris, 1)), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             full((N_ATTR, s + n_tris)),
+            full(pscene.grp.shape),
         ],
         out_specs=[tile_spec] * 5,
         out_shape=[
@@ -943,7 +1124,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     )
     tri_in = (pscene.tri if n_tris
               else jnp.zeros((10, 1), jnp.float32))
-    outs = outs_fn(cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr)
+    outs = outs_fn(cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr,
+                   pscene.grp)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)

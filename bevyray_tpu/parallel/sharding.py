@@ -167,7 +167,7 @@ def _sharded_step_cached(mesh: Mesh, config: RenderConfig):
         pixel_ids = jnp.arange(n, dtype=jnp.uint32)
         rt, rt_depth, seg_sum = sharded(scene, cam, u, v, pixel_ids, frame_seed)
         # Composite outside shard_map: raster inputs may be per-pixel arrays
-        # (raster.py), which have no consistent in_spec against sharded pixels
+        # (engine/raster.py), which have no consistent in_spec against sharded pixels
         # — here XLA partitions the elementwise op under whatever sharding the
         # raster layer already carries.
         out = composite(config.level, Vec3(rt[:, 0], rt[:, 1], rt[:, 2]),

@@ -2,9 +2,10 @@
 
 ``final_scene`` mirrors ``setup()`` in src/main.rs:49-240: ground sphere (r=1000), a
 22×22 jittered grid of small spheres with diffuse/metal/glass chosen at
-0.8/0.15/0.05, and three feature spheres (glass, diffuse brown, polished metal). The
-reference's raster-only cube (main.rs:76-85) lives in the raster layer, not the
-sphere tables; hybrid tests supply it via the raster G-buffer inputs instead.
+0.8/0.15/0.05, three feature spheres (glass, diffuse brown, polished metal), and the
+reference's raster-only cube (main.rs:76-85) as a raster entity — rendered by the
+analytic raster layer (``engine.raster``) into the color/depth buffers the hybrid
+modes blend against, never raytraced.
 
 Randomness: the reference uses an unseeded ``rand::random`` (main.rs:107-140); we use
 a seeded NumPy generator so scenes are reproducible. Draw order per grid cell matches
@@ -16,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from .components import (PerspectiveProjection, RaytracedCamera, RaytracedSphere,
-                         Raytracing, StandardMaterial, Transform)
+                         Raytracing, StandardMaterial, Transform, cube_mesh)
 from .world import World
 
 
@@ -32,6 +33,14 @@ def final_scene(seed: int = 42, grid: int = 11,
         PerspectiveProjection(),
         camera or RaytracedCamera(level=Raytracing.FALLBACK_RAYTRACED,
                                   sample_count=4, bounces=4),
+    )
+
+    # The rasterized-only cube (main.rs:76-85): unit cuboid at (0, 0.5, 0),
+    # srgb(0.8, 0.7, 0.6) — a visible PbrBundle in the reference, a raster-layer
+    # entity here (drawn by engine.raster, invisible to the raytracer).
+    world.spawn_raster_mesh(
+        Transform.from_xyz(0.0, 0.5, 0.0), cube_mesh(1.0),
+        StandardMaterial(base_color=(0.8, 0.7, 0.6)),
     )
 
     # Ground sphere (main.rs:87-103): srgb(0.5,0.5,0.5), metallic 0, default rest.

@@ -34,6 +34,9 @@ class World:
         self._materials: List[StandardMaterial] = []
         self._alive: List[bool] = []
         self._meshes: List[tuple] = []   # (Transform, RaytracedMesh, material, alive)
+        # Raster-only entities (the reference's visible cube, main.rs:76-85):
+        # drawn by the analytic raster layer (engine.raster), never raytraced.
+        self._raster: List[tuple] = []   # (Transform, RaytracedMesh, material, alive)
         self.camera_transform: Transform = Transform.from_xyz(0.0, 0.0, 5.0).looking_at((0.0, 0.0, 0.0))
         self.projection = PerspectiveProjection()
         self.camera = RaytracedCamera()
@@ -59,6 +62,22 @@ class World:
         self._meshes.append((transform, mesh, material, True))
         self._touch()
         return mid
+
+    def spawn_raster_mesh(self, transform: Transform, mesh: RaytracedMesh,
+                          material: StandardMaterial) -> int:
+        """Raster-only entity — the analog of spawning a visible (non-hidden)
+        PbrBundle in the reference (the cube, main.rs:76-85). Consumed by
+        ``engine.raster.raster_layer`` for the hybrid modes' color/depth
+        inputs; invisible to the raytracer."""
+        rid = len(self._raster)
+        self._raster.append((transform, mesh, material, True))
+        self._touch()
+        return rid
+
+    def despawn_raster_mesh(self, rid: int) -> None:
+        t, m, mat, _ = self._raster[rid]
+        self._raster[rid] = (t, m, mat, False)
+        self._touch()
 
     def despawn_mesh(self, mid: int) -> None:
         t, m, mat, _ = self._meshes[mid]
@@ -150,6 +169,29 @@ class World:
             return None
         return (np.concatenate(a), np.concatenate(b), np.concatenate(c),
                 np.concatenate(mids), np.stack(mats, 0))
+
+    def extract_raster_host(self):
+        """Flatten live raster-only entities to world-space corner arrays plus a
+        per-triangle linear base color. Returns None when there are none."""
+        a, b, c, colors = [], [], [], []
+        for t, mesh, mat, alive in self._raster:
+            if not alive:
+                continue
+            v = np.asarray(mesh.vertices, np.float32) + np.asarray(
+                t.translation, np.float32)
+            f = np.asarray(mesh.indices, np.int32)
+            a.append(v[f[:, 0]])
+            b.append(v[f[:, 1]])
+            c.append(v[f[:, 2]])
+            colors.append(np.tile(mat.to_record()[:3], (f.shape[0], 1)))
+        if not a:
+            return None
+        return (np.concatenate(a), np.concatenate(b), np.concatenate(c),
+                np.concatenate(colors))
+
+    @property
+    def n_raster(self) -> int:
+        return sum(1 for *_, alive in self._raster if alive)
 
     def extract(self, capacity: Optional[int] = None, with_bvh: bool = True) -> SceneBuffers:
         """Build (or fetch cached) device scene buffers."""

@@ -111,7 +111,10 @@ def render_oracle(centers, radii, materials, camera, width, height,
     up = np.asarray(camera["up"], F)
     fov, near, far = F(camera["fov"]), F(camera["near"]), F(camera["far"])
     aspect = F(camera["aspect"])
+    # Raster inputs may be constants or full buffers ([H,W,3] color, [H,W]
+    # reverse-Z depth — e.g. from engine.raster for the hybrid modes).
     raster_color = np.asarray(raster_color, F)
+    raster_depth = np.asarray(raster_depth, F)
 
     right = np.cross(cam_dir, up).astype(F)               # wgsl:149
     scale = F(np.tan(fov * 0.5))
@@ -250,13 +253,15 @@ def render_oracle(centers, radii, materials, camera, width, height,
             depth_img[py, px] = rt_depth
 
             # composite (wgsl:97-122)
+            rc = raster_color[py, px] if raster_color.ndim == 3 else raster_color
+            rd = raster_depth[py, px] if raster_depth.ndim == 2 else raster_depth
             if level == 0:
-                out = raster_color
+                out = rc
             elif level == 3:
                 out = rt_color
             else:
                 rz = F(-1.0) if rt_depth > far else F(near / rt_depth)
-                out = raster_color if raster_depth > rz else rt_color
+                out = rc if rd > rz else rt_color
             image[py, px] = out
 
     return image, depth_img

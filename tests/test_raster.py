@@ -1,0 +1,111 @@
+"""Analytic raster layer: depth convention, hybrid end-to-end from the public
+API (the reference generates these buffers with a real rasterizer + depth
+prepass: main.rs:75-85, mod.rs:107-115, raytrace.wgsl:104-120)."""
+
+import numpy as np
+
+from bevyray_tpu import RenderConfig, Renderer, rtiow
+from bevyray_tpu.engine.raster import raster_layer
+from bevyray_tpu.scene.components import (RaytracedSphere, StandardMaterial,
+                                          Transform, cube_mesh)
+from bevyray_tpu.scene.world import World
+from bevyray_tpu.testing.oracle import oracle_inputs_from_world, render_oracle
+
+
+def _cube_world():
+    world = World()
+    world.set_camera(Transform.from_xyz(0.0, 1.0, 4.0).looking_at((0.0, 0.5, 0.0)))
+    world.spawn_sphere(Transform.from_xyz(0.0, -1000.0, 0.0),
+                       RaytracedSphere(1000.0),
+                       StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    world.spawn_sphere(Transform.from_xyz(-1.2, 0.5, 0.0), RaytracedSphere(0.5),
+                       StandardMaterial(base_color=(0.1, 0.2, 0.5)))
+    world.spawn_raster_mesh(Transform.from_xyz(0.0, 0.5, 0.0), cube_mesh(1.0),
+                            StandardMaterial(base_color=(0.8, 0.7, 0.6)))
+    return world
+
+
+def test_depth_convention():
+    """Raster depth is reverse-Z ``near / view_z``: 0 where nothing rasterizes,
+    in (0, near/dist] on the cube, increasing for closer surfaces."""
+    world = _cube_world()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=1,
+                       level=1)
+    cam = world.camera_state(aspect=1.0)
+    color, depth = raster_layer(world, cam, cfg)
+    d = np.asarray(depth).reshape(64, 64)
+    hit = d > 0
+    assert hit.any() and not hit.all()
+    # camera is ~3.6 units from the cube's near face; near=0.1
+    assert d[hit].max() <= 0.1 / 2.5
+    assert d[hit].min() >= 0.1 / 10.0
+    c = np.asarray(color.x).reshape(64, 64)
+    assert (c[~hit] == 1.0).all()          # clear color (white, main.rs:60)
+
+
+def test_no_raster_entities_returns_none():
+    world = World()
+    world.spawn_sphere(Transform.from_xyz(0, 0, 0), RaytracedSphere(1.0),
+                       StandardMaterial())
+    cfg = RenderConfig(width=8, height=8, samples_per_pixel=1, bounces=1, level=1)
+    assert raster_layer(world, world.camera_state(aspect=1.0), cfg) == (None, None)
+
+
+def test_hybrid_level1_golden_vs_oracle():
+    """Level-1 render with the analytic raster cube matches the scalar oracle fed
+    the SAME buffers — pins the full blend path (near/t vs prepass reverse-Z,
+    mode-1 fallback far), the VERDICT-requested end-to-end hybrid golden."""
+    world = _cube_world()
+    W = H = 32
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, bounces=3, level=1)
+    cam = world.camera_state(aspect=1.0)
+    rc, rd = raster_layer(world, cam, cfg)
+
+    got = np.asarray(Renderer(cfg).render(world.extract(with_bvh=False), cam,
+                                          seed=5, raster_color=rc,
+                                          raster_depth=rd).image)
+
+    centers, radii, mats, camera = oracle_inputs_from_world(world)
+    raster_color = np.stack([np.asarray(v).reshape(H, W) for v in
+                             (rc.x, rc.y, rc.z)], axis=-1)
+    raster_depth = np.asarray(rd).reshape(H, W)
+    want, _ = render_oracle(centers, radii, mats, camera, W, H,
+                            samples_per_pixel=2, bounces=3, level=1,
+                            frame_seed=5, raster_color=raster_color,
+                            raster_depth=raster_depth)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_cube_wins_where_nearer():
+    """Where the cube's reverse-Z depth beats the raytraced depth, the image is
+    exactly the raster color; level 3 ignores the raster layer entirely."""
+    world = _cube_world()
+    cfg1 = RenderConfig(width=48, height=48, samples_per_pixel=2, bounces=3,
+                        level=1)
+    cam = world.camera_state(aspect=1.0)
+    rc, rd = raster_layer(world, cam, cfg1)
+    scene = world.extract(with_bvh=False)
+    f1 = Renderer(cfg1).render(scene, cam, seed=3, raster_color=rc,
+                               raster_depth=rd)
+    img = np.asarray(f1.image)
+    rdm = np.asarray(rd).reshape(48, 48)
+    rz = np.where(np.asarray(f1.rt_depth) > float(np.asarray(cam.far)), -1.0,
+                  float(np.asarray(cam.near)) / np.asarray(f1.rt_depth))
+    wins = rdm > rz
+    assert wins.any()
+    for ch, comp in zip(range(3), (rc.x, rc.y, rc.z)):
+        np.testing.assert_array_equal(img[..., ch][wins],
+                                      np.asarray(comp).reshape(48, 48)[wins])
+
+    import dataclasses
+    cfg3 = dataclasses.replace(cfg1, level=3)
+    f3 = Renderer(cfg3).render(scene, cam, seed=3, raster_color=rc,
+                               raster_depth=rd)
+    assert np.abs(np.asarray(f3.image) - img).max() > 0.05
+
+
+def test_final_scene_has_the_cube():
+    world = rtiow.final_scene(seed=42, grid=2)
+    assert world.n_raster == 1
+    data = world.extract_raster_host()
+    assert data[0].shape == (12, 3)   # 12 triangles
