@@ -423,23 +423,28 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
     g_pad = grp_table.shape[1] // 3
 
     # ---- phase A: per-lane candidate bitmask (slab test per group AABB) ----
-    mask = jnp.zeros((TILE_SUB, 128), jnp.int32)
-    for g in range(n_groups):
-        tx1 = (gaabb_ref[0, g] - ox) * idx
-        tx2 = (gaabb_ref[3, g] - ox) * idx
-        ty1 = (gaabb_ref[1, g] - oy) * idy
-        ty2 = (gaabb_ref[4, g] - oy) * idy
-        tz1 = (gaabb_ref[2, g] - oz) * idz
-        tz2 = (gaabb_ref[5, g] - oz) * idz
-        t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                         jnp.minimum(ty1, ty2)),
-                             jnp.minimum(tz1, tz2))
-        t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                        jnp.maximum(ty1, ty2)),
-                            jnp.maximum(tz1, tz2))
-        useful = (t_far >= t_near) & (t_far > 0.0)
-        mask = mask | jnp.where(useful, jnp.int32(1 << g), 0)
-    mask = jnp.where(active, mask, 0)
+    def build_mask(best_q):
+        """Bit g set iff group g's AABB is entered ahead of the lane's current
+        best hit (a·t_near rescale as in _intersect_grouped)."""
+        mask = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        for g in range(n_groups):
+            tx1 = (gaabb_ref[0, g] - ox) * idx
+            tx2 = (gaabb_ref[3, g] - ox) * idx
+            ty1 = (gaabb_ref[1, g] - oy) * idy
+            ty2 = (gaabb_ref[4, g] - oy) * idy
+            tz1 = (gaabb_ref[2, g] - oz) * idz
+            tz2 = (gaabb_ref[5, g] - oz) * idz
+            t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                             jnp.minimum(ty1, ty2)),
+                                 jnp.minimum(tz1, tz2))
+            t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                            jnp.maximum(ty1, ty2)),
+                                jnp.maximum(tz1, tz2))
+            useful = (t_far >= t_near) & (t_far > 0.0) & (a * t_near < best_q)
+            mask = mask | jnp.where(useful, jnp.int32(1 << g), 0)
+        return jnp.where(active, mask, 0)
+
+    mask = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
 
     # Group ids repeated for the hi|mid|lo column blocks (static concat — no
     # vector modulo, which Mosaic lowers poorly).
@@ -455,23 +460,34 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
 
     def walk_body(carry):
         mask, bq, bi = carry
-        rows_m, rows_q, rows_i = [], [], []
-        for r in range(TILE_SUB):
-            row = mask[r:r + 1, :]
+        # One candidate step for every lane: extract each lane's lowest-set
+        # group id tile-wide, gather ALL rows' candidate groups with a single
+        # batched matmul (32 per-row matmuls measured 6× slower: per-issue
+        # overhead + per-row (128,128) accumulator streaming dominated), then
+        # test per row against register-resident (GROUP, 128) slices.
+        lsb = mask & (-mask)
+        g_lane = _lsb_index(lsb)                              # (TILE_SUB, 128)
+        onehot = jnp.concatenate(
+            [(iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
+             for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
+        acc = jnp.dot(grp_table, onehot,
+                      preferred_element_type=jnp.float32)     # (4·GROUP, T·128)
 
-            def do_row(c):
-                row, q_r, i_r = c
-                lsb = row & (-row)
-                g_row = _lsb_index(lsb)                       # (1, 128) i32
-                # One matmul sums the hi/mid/lo splits (all partial sums are
-                # exact in the f32 accumulator — see prepare_pallas_scene).
-                onehot = (iota_g3 == g_row).astype(jnp.bfloat16)
-                acc = jnp.dot(grp_table, onehot,
-                              preferred_element_type=jnp.float32)  # (128, 128)
-                cx = acc[0 * GROUP:1 * GROUP]
-                cy = acc[1 * GROUP:2 * GROUP]
-                cz = acc[2 * GROUP:3 * GROUP]
-                r2 = acc[3 * GROUP:4 * GROUP]
+        rows_q, rows_i = [], []
+        for r in range(TILE_SUB):
+            def do_row(c, r=r):
+                # Unconditional (no lax.cond): a per-row cond captures the big
+                # `acc` block as a branch operand and round-trips it through
+                # VMEM 32× per step. Exhausted lanes (mask 0) harmlessly
+                # re-test group 0: every sphere lies inside its group box, so
+                # a lane that never set bit 0 gets qv = INF, and one that did
+                # reproduces its old q and loses the strict < tie.
+                q_r, i_r = c
+                sl = slice(r * 128, (r + 1) * 128)
+                cx = acc[0 * GROUP:1 * GROUP, sl]
+                cy = acc[1 * GROUP:2 * GROUP, sl]
+                cz = acc[2 * GROUP:3 * GROUP, sl]
+                r2 = acc[3 * GROUP:4 * GROUP, sl]
                 # Same test arithmetic as _intersect_grouped.one_sphere, with
                 # the row's ray data broadcast over the GROUP sublane-spheres.
                 ocx = cx - ox[r:r + 1, :]
@@ -484,7 +500,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                 q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
                 ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
                 qv = jnp.where(ok, q, INF)
-                iv = g_row * GROUP + iota_k                   # (GROUP, 128)
+                iv = g_lane[r:r + 1, :] * GROUP + iota_k      # (GROUP, 128)
                 # Tree-reduce over the sphere sublanes; strict < keeps the
                 # lower-k (earlier) sphere on ties, matching the brute walk.
                 m = GROUP
@@ -494,19 +510,21 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                     qv = jnp.where(take, qv[m:2 * m], qv[:m])
                     iv = jnp.where(take, iv[m:2 * m], iv[:m])
                 better = qv < q_r
-                q_r = jnp.where(better, qv, q_r)
-                i_r = jnp.where(better, iv, i_r)
-                return row & (row - 1), q_r, i_r
+                return (jnp.where(better, qv, q_r),
+                        jnp.where(better, iv, i_r))
 
-            row2, q2, i2 = jax.lax.cond(jnp.max(row) > 0, do_row, lambda c: c,
-                                        (row, bq[r:r + 1, :], bi[r:r + 1, :]))
-            rows_m.append(row2)
+            q2, i2 = do_row((bq[r:r + 1, :], bi[r:r + 1, :]))
             rows_q.append(q2)
             rows_i.append(i2)
-        # Rebuild the tile arrays by concatenation (dynamic_update_slice has no
-        # Mosaic lowering on this jax version).
-        return (jnp.concatenate(rows_m, axis=0), jnp.concatenate(rows_q, axis=0),
-                jnp.concatenate(rows_i, axis=0))
+        # Rebuild tile arrays by concatenation (dynamic_update_slice has no
+        # Mosaic lowering on this jax version); clearing the consumed bit is a
+        # tile-wide no-op on exhausted lanes (0 & -1 == 0). Re-AND with a fresh
+        # best-q-pruned mask: once a lane has a hit, groups entered behind it
+        # drop out, which collapses the heavy candidate tail (the while loop
+        # runs to the slowest LANE's count — pruning shortens exactly that).
+        bq2 = jnp.concatenate(rows_q, axis=0)
+        bi2 = jnp.concatenate(rows_i, axis=0)
+        return (mask & (mask - 1) & build_mask(bq2), bq2, bi2)
 
     _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body,
                                            (mask, best_q, best_i))

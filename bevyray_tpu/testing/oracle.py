@@ -267,6 +267,264 @@ def render_oracle(centers, radii, materials, camera, width, height,
     return image, depth_img
 
 
+def _normalize_rows(v):
+    return (v / np.sqrt((v * v).sum(1, dtype=F))[:, None]).astype(F)
+
+
+def _ball_rows(stream, base, first):
+    us = [rng.draw(stream, np.uint32(base + first + k)).astype(F)
+          for k in range(5)]
+    return rng.unit_ball_from_uniforms_np(*us)   # (rows, 3) f32
+
+
+def render_oracle_fast(centers, radii, materials, camera, width, height,
+                       samples_per_pixel, bounces, level, frame_seed,
+                       raster_color=(1.0, 1.0, 1.0), raster_depth=0.0,
+                       defocus=False, diffuse_sampling="reference",
+                       triangles=None):
+    """Pixel-vectorized oracle — same algorithm, draws, and f32 discipline as
+    :func:`render_oracle`, with the PIXEL dimension vectorized (NumPy) so golden
+    tests can afford 96²+/4spp frames. The per-sample bounce loop keeps REAL
+    breaks — dead rays leave via boolean-index compaction, not masking — so it
+    remains an independent check on the JAX renderers' masked wavefronts.
+    Verified bit-identical to the scalar oracle (tests/test_golden.py).
+    """
+    centers = np.asarray(centers, F)
+    radii = np.asarray(radii, F)
+    materials = np.asarray(materials, F)
+    if triangles is not None:
+        tri_a, tri_b, tri_c, tri_mids = (np.asarray(x) for x in triangles)
+    pos = np.asarray(camera["position"], F)
+    cam_dir = np.asarray(camera["direction"], F)
+    up = np.asarray(camera["up"], F)
+    fov, near, far = F(camera["fov"]), F(camera["near"]), F(camera["far"])
+    aspect = F(camera["aspect"])
+    raster_color = np.asarray(raster_color, F)
+    raster_depth = np.asarray(raster_depth, F)
+
+    right = np.cross(cam_dir, up).astype(F)
+    scale = F(np.tan(fov * 0.5))
+    fallback_far = F(far + 10.0) if level == 1 else F(far - 1.0)
+
+    n = width * height
+    pixel_ids = np.arange(n, dtype=np.uint32)
+    px = (pixel_ids % np.uint32(width)).astype(F)
+    py = (pixel_ids // np.uint32(width)).astype(F)
+    u = ((px + F(0.5)) / F(width)).astype(F)
+    v = ((py + F(0.5)) / F(height)).astype(F)
+
+    color_sum = np.zeros((n, 3), F)
+    depth_sum = np.zeros(n, F)
+
+    for s in range(samples_per_pixel):
+        with np.errstate(over="ignore"):
+            stream = rng.stream_init(pixel_ids, np.uint32(s),
+                                     np.uint32(frame_seed))
+        ju = rng.draw(stream, np.uint32(slots.JITTER_U)).astype(F)
+        jv = rng.draw(stream, np.uint32(slots.JITTER_V)).astype(F)
+        h_px = F(height)
+        w_px = F(h_px * aspect)
+        ndc_x = ((u * F(2.0) - F(1.0)) + (ju - F(0.5)) / w_px).astype(F)
+        ndc_y = ((F(1.0) - v * F(2.0)) + (jv - F(0.5)) / h_px).astype(F)
+        d = _normalize_rows(cam_dir[None, :]
+                            + (ndc_x * aspect * scale)[:, None] * right[None, :]
+                            + (ndc_y * scale)[:, None] * up[None, :])
+        o = np.broadcast_to(pos, (n, 3)).astype(F).copy()
+
+        if defocus:
+            lu = rng.draw(stream, np.uint32(slots.LENS_U)).astype(F)
+            lv = rng.draw(stream, np.uint32(slots.LENS_V)).astype(F)
+            lens_radius = F(camera.get("aperture", 0.0)) * F(0.5)
+            rr_ = (lens_radius * np.sqrt(lu)).astype(F)
+            th = (F(2.0 * np.pi) * lv).astype(F)
+            focal = (o + F(camera.get("focus_distance", 1.0)) * d).astype(F)
+            o = (o + (rr_ * np.cos(th).astype(F))[:, None] * right[None, :]
+                 + (rr_ * np.sin(th).astype(F))[:, None] * up[None, :]).astype(F)
+            d = _normalize_rows(focal - o)
+
+        first_depth = np.full(n, INF, F)
+        radiance = np.zeros((n, 3), F)
+        ray_color = np.ones((n, 3), F)
+        live = np.arange(n)          # compaction: indices of still-tracing rays
+        live_stream = stream
+
+        for b in range(bounces + 1):
+            if live.size == 0:
+                break
+            # nearest sphere hit, vectorized over (rays × spheres)
+            oc = (centers[None, :, :] - o[live][:, None, :]).astype(F)
+            dl = d[live]
+            a = (dl * dl).sum(1, dtype=F)
+            h = (oc * dl[:, None, :]).sum(2, dtype=F)
+            c = ((oc * oc).sum(2, dtype=F) - (radii * radii)[None, :]).astype(F)
+            disc = (h * h - a[:, None] * c).astype(F)
+            ok = disc >= 0.0
+            t_all = np.where(
+                ok, (h - np.sqrt(np.where(ok, disc, 0.0))) / a[:, None],
+                F(-1.0)).astype(F)
+            t_all = np.where(ok & (t_all > T_MIN), t_all, F(INF))
+            idx = np.argmin(t_all, 1)
+            t = t_all[np.arange(live.size), idx].astype(F)
+            is_tri = np.zeros(live.size, bool)
+            if triangles is not None:
+                e1 = (tri_b - tri_a).astype(F)
+                e2 = (tri_c - tri_a).astype(F)
+                p = np.cross(dl[:, None, :], e2[None, :, :]).astype(F)
+                det = (p * e1[None, :, :]).sum(2, dtype=F)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    inv_det = (F(1.0) / det).astype(F)
+                    tv = (o[live][:, None, :] - tri_a[None, :, :]).astype(F)
+                    uu = ((tv * p).sum(2, dtype=F) * inv_det).astype(F)
+                    q = np.cross(tv, e1[None, :, :]).astype(F)
+                    vv = ((q * dl[:, None, :]).sum(2, dtype=F)
+                          * inv_det).astype(F)
+                    tt = ((q * e2[None, :, :]).sum(2, dtype=F)
+                          * inv_det).astype(F)
+                tok = ((np.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                       & (uu + vv <= 1.0) & (tt > T_MIN))
+                tt = np.where(tok, tt, F(INF))
+                tidx = np.argmin(tt, 1)
+                tbest = tt[np.arange(live.size), tidx].astype(F)
+                is_tri = tbest < t
+                idx = np.where(is_tri, tidx, idx)
+                t = np.where(is_tri, tbest, t)
+
+            if b == 0:
+                first_depth[live] = t
+
+            # miss → sky, then break (compaction)
+            miss = t >= INF
+            if miss.any():
+                unit = _normalize_rows(dl[miss])
+                a01 = (F(0.5) * (unit[:, 1] + F(1.0))).astype(F)
+                sky = ((1.0 - a01)[:, None] * np.ones(3, F)[None, :]
+                       + a01[:, None] * np.array([0.5, 0.7, 1.0], F)[None, :]
+                       ).astype(F)
+                mids = live[miss]
+                radiance[mids] = (radiance[mids] + ray_color[mids] * sky
+                                  ).astype(F)
+            keep = ~miss
+            live = live[keep]
+            if live.size == 0:
+                break
+            dl, t, idx, is_tri = dl[keep], t[keep], idx[keep], is_tri[keep]
+            live_stream = stream[live]
+
+            hit_pos = (o[live] + t[:, None] * dl).astype(F)
+            # idx is a triangle index on is_tri rows, a sphere index otherwise;
+            # clamp each view so np.where can evaluate both branches safely.
+            sph_idx = np.where(is_tri, 0, idx)
+            normal = _normalize_rows(hit_pos - centers[sph_idx])
+            mrow = sph_idx
+            if triangles is not None:
+                tri_idx = np.where(is_tri, idx, 0)
+                tn = _normalize_rows(np.cross(tri_b[tri_idx] - tri_a[tri_idx],
+                                              tri_c[tri_idx] - tri_a[tri_idx])
+                                     .astype(F))
+                normal = np.where(is_tri[:, None], tn, normal).astype(F)
+                mrow = np.where(is_tri, tri_mids[tri_idx], sph_idx)
+            m = materials[mrow]
+            front_face = (dl * normal).sum(1, dtype=F) < 0.0
+            base_color = m[:, 0:3]
+            metallic, roughness = m[:, 3], m[:, 4]
+            ior, spec_trans = m[:, 6], m[:, 7]
+            if m.shape[1] > 8:
+                radiance[live] = (radiance[live] + ray_color[live] * m[:, 8:11]
+                                  ).astype(F)
+
+            sbase = slots.bounce_base(b)
+            u_metal = rng.draw(live_stream, np.uint32(sbase + slots.S_METAL)
+                               ).astype(F)
+            u_trans = rng.draw(live_stream, np.uint32(sbase + slots.S_TRANS)
+                               ).astype(F)
+            u_reflect = rng.draw(live_stream, np.uint32(sbase + slots.S_REFLECT)
+                                 ).astype(F)
+
+            is_metal = u_metal < metallic
+            is_diel = ~is_metal & (u_trans < spec_trans)
+            is_diff = ~is_metal & ~is_diel
+
+            new_d = np.zeros_like(dl)
+            attenuation = np.ones_like(dl)
+            absorbed = np.zeros(live.size, bool)
+
+            if is_metal.any():
+                k = is_metal
+                ball1 = _ball_rows(live_stream[k], sbase, slots.S_BALL1)
+                refl = (dl[k] - 2.0 * (dl[k] * normal[k]).sum(1, dtype=F)[:, None]
+                        * normal[k]).astype(F)
+                nd = (_normalize_rows(refl) + roughness[k][:, None] * ball1
+                      ).astype(F)
+                new_d[k] = nd
+                attenuation[k] = base_color[k]
+                absorbed[k] = (nd * normal[k]).sum(1, dtype=F) < 0.0
+            if is_diel.any():
+                k = is_diel
+                ri = np.where(front_face[k], F(1.0) / ior[k], ior[k]).astype(F)
+                unit = _normalize_rows(dl[k])
+                cos_theta = np.minimum((-unit * normal[k]).sum(1, dtype=F),
+                                       F(1.0)).astype(F)
+                sin_theta = np.sqrt(np.maximum(F(1.0) - cos_theta * cos_theta,
+                                               F(0.0))).astype(F)
+                r0 = ((1.0 - ri) / (1.0 + ri)).astype(F)
+                r0 = (r0 * r0).astype(F)
+                schlick = (r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5).astype(F)
+                reflect_mask = (ri * sin_theta > 1.0) | (schlick > u_reflect[k])
+                refl = (unit - 2.0 * (unit * normal[k]).sum(1, dtype=F)[:, None]
+                        * normal[k]).astype(F)
+                r_perp = (ri[:, None] * (unit + cos_theta[:, None] * normal[k])
+                          ).astype(F)
+                r_par = (-np.sqrt(np.abs(F(1.0) - (r_perp * r_perp)
+                                         .sum(1, dtype=F)))[:, None]
+                         * normal[k])
+                refr = (r_perp + r_par).astype(F)
+                new_d[k] = np.where(reflect_mask[:, None], refl, refr)
+                attenuation[k] = F(1.0)
+            if is_diff.any():
+                k = is_diff
+                ball1 = _ball_rows(live_stream[k], sbase, slots.S_BALL1)
+                if diffuse_sampling == "cosine":
+                    nd = (normal[k] + _normalize_rows(ball1)).astype(F)
+                else:
+                    ball2 = _ball_rows(live_stream[k], sbase, slots.S_BALL2)
+                    nd = (normal[k] + ball1 + roughness[k][:, None] * ball2
+                          ).astype(F)
+                near_zero = (np.abs(nd) < NEAR_ZERO).all(1)
+                nd = np.where(near_zero[:, None], normal[k], nd)
+                new_d[k] = nd
+                attenuation[k] = base_color[k]
+                absorbed[k] = (nd * normal[k]).sum(1, dtype=F) < 0.0
+
+            keep = ~absorbed
+            live = live[keep]
+            if live.size == 0:
+                break
+            ray_color[live] = (ray_color[live] * attenuation[keep]).astype(F)
+            o[live] = hit_pos[keep]
+            d[live] = new_d[keep]
+            live_stream = stream[live]
+
+        first_depth = np.where(first_depth >= INF, fallback_far, first_depth)
+        color_sum += np.sqrt(np.maximum(radiance, 0.0)).astype(F)
+        depth_sum += first_depth
+
+    rt_color = (color_sum / F(samples_per_pixel)).astype(F)
+    rt_depth = (depth_sum / F(samples_per_pixel)).astype(F)
+
+    rc = (raster_color.reshape(n, 3) if raster_color.ndim == 3
+          else np.broadcast_to(raster_color, (n, 3)))
+    rd = (raster_depth.reshape(n) if raster_depth.ndim == 2
+          else np.broadcast_to(raster_depth, (n,)))
+    if level == 0:
+        out = rc.astype(F)
+    elif level == 3:
+        out = rt_color
+    else:
+        rz = np.where(rt_depth > far, F(-1.0), (near / rt_depth).astype(F))
+        out = np.where((rd > rz)[:, None], rc, rt_color).astype(F)
+    return out.reshape(height, width, 3), rt_depth.reshape(height, width)
+
+
 def oracle_inputs_from_world(world):
     """Convenience: host-side arrays + camera dict from a World."""
     centers, radii, mat_table, _ = world.extract_host()

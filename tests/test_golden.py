@@ -11,12 +11,16 @@ import numpy as np
 import pytest
 
 from bevyray_tpu import RenderConfig, Renderer, rtiow
-from bevyray_tpu.testing.oracle import oracle_inputs_from_world, render_oracle
+from bevyray_tpu.testing.oracle import (oracle_inputs_from_world, render_oracle,
+                                        render_oracle_fast)
 
 
-def _render_pair(world, width, height, spp, bounces, level, seed):
+def _render_pair(world, width, height, spp, bounces, level, seed, **oracle_kw):
     cfg = RenderConfig(width=width, height=height, samples_per_pixel=spp,
-                       bounces=bounces, level=level)
+                       bounces=bounces, level=level,
+                       defocus=oracle_kw.get("defocus", False),
+                       diffuse_sampling=oracle_kw.get("diffuse_sampling",
+                                                      "reference"))
     r = Renderer(cfg)
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=width / height)
@@ -26,8 +30,9 @@ def _render_pair(world, width, height, spp, bounces, level, seed):
 
     centers, radii, mats, camera = oracle_inputs_from_world(world)
     camera["aspect"] = width / height
-    want, want_depth = render_oracle(centers, radii, mats, camera, width, height,
-                                     spp, bounces, level, seed)
+    want, want_depth = render_oracle_fast(centers, radii, mats, camera, width,
+                                          height, spp, bounces, level, seed,
+                                          **oracle_kw)
     return got, got_depth, want, want_depth
 
 
@@ -39,12 +44,24 @@ def _assert_images_match(got, want, mean_tol=2e-3, outlier_tol=5e-3,
     assert frac < max_outlier_frac, f"outlier fraction {frac}"
 
 
+def test_fast_oracle_is_the_scalar_oracle():
+    """The pixel-vectorized oracle must reproduce the scalar per-pixel oracle to
+    float ulps on every code path (sky, all 3 materials, depth) — this is what
+    lets the golden tests below run at 96²/4spp."""
+    world = rtiow.final_scene(seed=5, grid=2)
+    centers, radii, mats, camera = oracle_inputs_from_world(world)
+    a, da = render_oracle(centers, radii, mats, camera, 24, 24, 2, 4, 3, 11)
+    b, db = render_oracle_fast(centers, radii, mats, camera, 24, 24, 2, 4, 3, 11)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    np.testing.assert_allclose(da, db, rtol=1e-4)   # summation-order ulps
+
+
 @pytest.mark.parametrize("level", [3, 2])
 def test_simple_scene_matches_oracle(level):
-    """BASELINE config 1 (shrunk): Lambertian spheres + ground."""
+    """BASELINE config 1: Lambertian spheres + ground."""
     world = rtiow.simple_scene()
     got, got_depth, want, want_depth = _render_pair(
-        world, 48, 48, spp=2, bounces=8, level=level, seed=7)
+        world, 96, 96, spp=4, bounces=8, level=level, seed=7)
     _assert_images_match(got, want)
     # Depth: compare where both agree it's a hit (miss fallback is huge).
     both_hit = (want_depth < 900) & (got_depth < 900)
@@ -53,16 +70,47 @@ def test_simple_scene_matches_oracle(level):
 
 
 def test_material_scene_matches_oracle():
-    """BASELINE config 2 (shrunk): metal fuzz + dielectric with Schlick."""
+    """BASELINE config 2: metal fuzz + dielectric with Schlick."""
     world = rtiow.material_test_scene()
-    got, _, want, _ = _render_pair(world, 48, 48, spp=2, bounces=8, level=3, seed=3)
+    got, _, want, _ = _render_pair(world, 96, 96, spp=4, bounces=8, level=3, seed=3)
     _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
 
 
 def test_final_scene_small_matches_oracle():
     """A shrunk RTiOW final scene (grid=2 → ~30 spheres), all material kinds."""
     world = rtiow.final_scene(seed=5, grid=2)
-    got, _, want, _ = _render_pair(world, 40, 40, spp=2, bounces=4, level=3, seed=11)
+    got, _, want, _ = _render_pair(world, 80, 80, spp=4, bounces=4, level=3, seed=11)
+    _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
+
+
+def test_defocus_emissive_combo_matches_oracle():
+    """Two extensions combined (defocus blur + emissive lighting) against the
+    oracle — coverage the per-pixel oracle could not afford (VERDICT r1 #6)."""
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 1.0, 5).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.PURE, aperture=0.25,
+                                        focus_distance=5.0))
+    w.spawn_sphere(Transform.from_xyz(0, -1000, 0), RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    w.spawn_sphere(Transform.from_xyz(0, 0.5, 0), RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0.0, 0.0, 0.0),
+                                    emissive=(4.0, 2.0, 1.0)))
+    w.spawn_sphere(Transform.from_xyz(-1.5, 0.5, -2.0), RaytracedSphere(0.5),
+                   StandardMaterial(base_color=(0.2, 0.4, 0.8)))
+    got, _, want, _ = _render_pair(w, 64, 64, spp=4, bounces=4, level=3, seed=9,
+                                   defocus=True)
+    _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
+
+
+def test_cosine_sampling_matches_oracle():
+    """The cosine-weighted diffuse extension draw-for-draw vs the oracle."""
+    world = rtiow.material_test_scene()
+    got, _, want, _ = _render_pair(world, 64, 64, spp=4, bounces=6, level=3,
+                                   seed=13, diffuse_sampling="cosine")
     _assert_images_match(got, want, mean_tol=4e-3, max_outlier_frac=0.02)
 
 
