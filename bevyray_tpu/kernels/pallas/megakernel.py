@@ -518,13 +518,13 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
             rows_i.append(i2)
         # Rebuild tile arrays by concatenation (dynamic_update_slice has no
         # Mosaic lowering on this jax version); clearing the consumed bit is a
-        # tile-wide no-op on exhausted lanes (0 & -1 == 0). Re-AND with a fresh
-        # best-q-pruned mask: once a lane has a hit, groups entered behind it
-        # drop out, which collapses the heavy candidate tail (the while loop
-        # runs to the slowest LANE's count — pruning shortens exactly that).
-        bq2 = jnp.concatenate(rows_q, axis=0)
-        bi2 = jnp.concatenate(rows_i, axis=0)
-        return (mask & (mask - 1) & build_mask(bq2), bq2, bi2)
+        # tile-wide no-op on exhausted lanes (0 & -1 == 0). NOTE: re-ANDing a
+        # fresh best-q-pruned mask here was measured 13% SLOWER (494 vs 436 ms
+        # at 1080p/16spp) — the per-step slab recompute's SMEM scalar traffic
+        # exceeds what pruning saves, because the while loop is bound by the
+        # straggler LANE's candidate count, which pruning rarely shortens.
+        return (mask & (mask - 1), jnp.concatenate(rows_q, axis=0),
+                jnp.concatenate(rows_i, axis=0))
 
     _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body,
                                            (mask, best_q, best_i))

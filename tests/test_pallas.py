@@ -61,6 +61,28 @@ def test_pallas_fast_rng_statistical():
     assert abs(ig.mean() - iw.mean()) < 0.01
 
 
+def test_candidate_walk_bit_matches_grouped_walk():
+    """The per-lane candidate walk (pallas_intersect="candidates") must produce
+    BIT-identical images to the grouped walk: same test arithmetic on exactly
+    gathered f32 values (bf16 hi/mid/lo one-hot matmul reconstruction), a
+    conservative slab mask, and the same ascending-index tie-keeping."""
+    import dataclasses
+
+    for scene_fn, seed in [(rtiow.material_test_scene, 7),
+                           (lambda: rtiow.final_scene(seed=42, grid=4), 11)]:
+        world = scene_fn()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=1.0)
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=4,
+                           level=3, pallas_intersect="grouped")
+        want = PallasRenderer(cfg).render(scene, cam, seed=seed)
+        cfg_c = dataclasses.replace(cfg, pallas_intersect="candidates")
+        got = PallasRenderer(cfg_c).render(scene, cam, seed=seed)
+        np.testing.assert_array_equal(np.asarray(got.image),
+                                      np.asarray(want.image))
+        assert float(got.rays_traced) == float(want.rays_traced)
+
+
 def test_pallas_final_scene_many_spheres():
     """Multi-chunk sphere loop (508 spheres → 4 chunks of 128)."""
     world = rtiow.final_scene(seed=42)
