@@ -244,13 +244,16 @@ GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
 def _use_candidate_walk(config: RenderConfig, n_spheres_padded: int) -> bool:
-    """Static dispatch between the two megakernel sphere walks. ``auto`` keeps
-    the tile-unanimous grouped walk until the candidate walk is the measured
-    winner; scenes beyond MAX_CAND_GROUPS groups always use the grouped walk
-    (the single-i32 bitmask caps the candidate path)."""
-    n_groups = n_spheres_padded // GROUP
+    """Static dispatch between the two megakernel sphere walks. The candidate
+    walk adapts its group size so its i32 bitmask fits any scene; ``auto``
+    keeps the tile-unanimous grouped walk where it is the measured winner
+    (reference-scale scenes — the walks are at parity at ~500 spheres) and
+    switches to the candidate walk for large scenes, where per-lane culling
+    beats brute force even on bounce-incoherent lanes."""
     if config.pallas_intersect == "candidates":
-        return n_groups <= MAX_CAND_GROUPS
+        return True
+    if config.pallas_intersect == "auto":
+        return n_spheres_padded > 1024
     return False
 
 
@@ -418,8 +421,19 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
     idz = 1.0 / dz
     q_min = a * T_MIN
 
-    n_groups = n_spheres // GROUP
-    assert n_groups <= MAX_CAND_GROUPS
+    # Candidate-group geometry (must mirror prepare_pallas_scene): gc spheres
+    # per group in gc/GROUP chunk-major 32-sphere blocks; for gc > GROUP the
+    # group AABBs live in extra gaabb columns after [groups | supergroups].
+    gc = grp_table.shape[0] // 4
+    n_chunks = gc // GROUP
+    n32 = n_spheres // GROUP
+    n_cand = -(-n32 // n_chunks)
+    assert n_cand <= MAX_CAND_GROUPS
+    if n_chunks == 1:
+        cand_off = 0
+    else:
+        n_super = -(-n32 // SUPER) if n32 >= 4 * SUPER else 0
+        cand_off = n32 + n_super
     g_pad = grp_table.shape[1] // 3
 
     # ---- phase A: per-lane candidate bitmask (slab test per group AABB) ----
@@ -427,13 +441,14 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
         """Bit g set iff group g's AABB is entered ahead of the lane's current
         best hit (a·t_near rescale as in _intersect_grouped)."""
         mask = jnp.zeros((TILE_SUB, 128), jnp.int32)
-        for g in range(n_groups):
-            tx1 = (gaabb_ref[0, g] - ox) * idx
-            tx2 = (gaabb_ref[3, g] - ox) * idx
-            ty1 = (gaabb_ref[1, g] - oy) * idy
-            ty2 = (gaabb_ref[4, g] - oy) * idy
-            tz1 = (gaabb_ref[2, g] - oz) * idz
-            tz2 = (gaabb_ref[5, g] - oz) * idz
+        for g in range(n_cand):
+            col = cand_off + g
+            tx1 = (gaabb_ref[0, col] - ox) * idx
+            tx2 = (gaabb_ref[3, col] - ox) * idx
+            ty1 = (gaabb_ref[1, col] - oy) * idy
+            ty2 = (gaabb_ref[4, col] - oy) * idy
+            tz1 = (gaabb_ref[2, col] - oz) * idz
+            tz2 = (gaabb_ref[5, col] - oz) * idz
             t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
                                              jnp.minimum(ty1, ty2)),
                                  jnp.minimum(tz1, tz2))
@@ -470,19 +485,21 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
         onehot = jnp.concatenate(
             [(iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
              for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
-        acc = jnp.dot(grp_table, onehot,
-                      preferred_element_type=jnp.float32)     # (4·GROUP, T·128)
 
-        rows_q, rows_i = [], []
-        for r in range(TILE_SUB):
-            def do_row(c, r=r):
-                # Unconditional (no lax.cond): a per-row cond captures the big
-                # `acc` block as a branch operand and round-trips it through
-                # VMEM 32× per step. Exhausted lanes (mask 0) harmlessly
-                # re-test group 0: every sphere lies inside its group box, so
-                # a lane that never set bit 0 gets qv = INF, and one that did
-                # reproduces its old q and loses the strict < tie.
-                q_r, i_r = c
+        rows_q = [bq[r:r + 1, :] for r in range(TILE_SUB)]
+        rows_i = [bi[r:r + 1, :] for r in range(TILE_SUB)]
+        # One matmul per 32-sphere chunk of the candidate group (chunk-major
+        # table rows), reusing the step's one-hot — keeps the accumulator at
+        # (128, T·128) regardless of gc. All rows are tested unconditionally:
+        # a per-row lax.cond captures the accumulator as a branch operand and
+        # round-trips it through VMEM 32× per step (measured 5×); exhausted
+        # lanes (mask 0) harmlessly re-test group 0 — every sphere lies inside
+        # its group box, so a lane that never set bit 0 gets qv = INF, and one
+        # that did reproduces its old q and loses the strict < tie.
+        for c in range(n_chunks):
+            acc = jnp.dot(grp_table[c * 128:(c + 1) * 128, :], onehot,
+                          preferred_element_type=jnp.float32)  # (128, T·128)
+            for r in range(TILE_SUB):
                 sl = slice(r * 128, (r + 1) * 128)
                 cx = acc[0 * GROUP:1 * GROUP, sl]
                 cy = acc[1 * GROUP:2 * GROUP, sl]
@@ -500,22 +517,20 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                 q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
                 ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
                 qv = jnp.where(ok, q, INF)
-                iv = g_lane[r:r + 1, :] * GROUP + iota_k      # (GROUP, 128)
+                iv = (g_lane[r:r + 1, :] * gc + (c * GROUP)
+                      + iota_k)                               # (GROUP, 128)
                 # Tree-reduce over the sphere sublanes; strict < keeps the
-                # lower-k (earlier) sphere on ties, matching the brute walk.
-                m = GROUP
-                while m > 1:
-                    m //= 2
-                    take = qv[m:2 * m] < qv[:m]
-                    qv = jnp.where(take, qv[m:2 * m], qv[:m])
-                    iv = jnp.where(take, iv[m:2 * m], iv[:m])
-                better = qv < q_r
-                return (jnp.where(better, qv, q_r),
-                        jnp.where(better, iv, i_r))
-
-            q2, i2 = do_row((bq[r:r + 1, :], bi[r:r + 1, :]))
-            rows_q.append(q2)
-            rows_i.append(i2)
+                # lower-k (earlier) sphere on ties, and ascending chunk order
+                # keeps earlier chunks, matching the brute walk's order.
+                w = GROUP
+                while w > 1:
+                    w //= 2
+                    take = qv[w:2 * w] < qv[:w]
+                    qv = jnp.where(take, qv[w:2 * w], qv[:w])
+                    iv = jnp.where(take, iv[w:2 * w], iv[:w])
+                better = qv < rows_q[r]
+                rows_q[r] = jnp.where(better, qv, rows_q[r])
+                rows_i[r] = jnp.where(better, iv, rows_i[r])
         # Rebuild tile arrays by concatenation (dynamic_update_slice has no
         # Mosaic lowering on this jax version); clearing the consumed bit is a
         # tile-wide no-op on exhausted lanes (0 & -1 == 0). NOTE: re-ANDing a
@@ -1033,22 +1048,54 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
             [jnp.concatenate([gmin_f, smin], axis=1),
              jnp.concatenate([gmax_f, smax], axis=1)], axis=0)
 
-    # Group-gather table for the candidate walk: (4*GROUP, 3*g_pad) bf16 where
-    # rows are [cx|cy|cz|r²] × sphere-in-group and each group's column is split
-    # hi/mid/lo so the one-hot matmul's f32 accumulator reconstructs the f32
-    # value EXACTLY (3×8 mantissa bits ≥ f32's 24; every partial sum of the
-    # three addends is representable, so accumulation order doesn't matter).
-    g_pad = max(8, -(-n_groups // 8) * 8)
-    blk = sph.reshape(4, n_groups, GROUP).transpose(0, 2, 1)
-    blk = blk.reshape(4 * GROUP, n_groups)
-    if g_pad > n_groups:
+    # ---- candidate-walk tables ------------------------------------------------
+    # Candidate groups are GROUP·m spheres so the per-lane bitmask fits an i32
+    # for ANY scene size; their gather table is CHUNK-MAJOR — rows
+    # [chunk c][attr a][k] = c·128 + a·32 + k — so the kernel gathers and tests
+    # one 32-sphere register block at a time (a full (4·gc, N) f32 accumulator
+    # would blow VMEM at gc ≥ 256). Each group's column is split hi/mid/lo bf16
+    # so the one-hot matmul's f32 accumulator reconstructs f32 values EXACTLY
+    # (3×8 mantissa bits ≥ f32's 24; every partial sum of the three addends is
+    # representable, so accumulation order doesn't matter).
+    m_c = -(-n_groups // MAX_CAND_GROUPS)
+    gc = GROUP * m_c
+    s_c = -(-s // gc) * gc
+    n_cand = s_c // gc
+    # Tail padding duplicates sphere 0 (sph column 0 — carries the empty-scene
+    # conventions too). A duplicate can only be hit when sphere 0 is, which
+    # always sets candidate bit 0, and ascending visit order + strict < then
+    # keeps the real index.
+    sph_c = (sph if s_c == s else
+             jnp.concatenate([sph, jnp.tile(sph[:, :1], (1, s_c - s))], axis=1))
+    g_pad = max(8, -(-n_cand // 8) * 8)
+    t = sph_c.reshape(4, n_cand, gc // GROUP, GROUP)       # [a, g, c, k]
+    blk = t.transpose(2, 0, 3, 1).reshape(4 * gc, n_cand)  # chunk-major rows
+    if g_pad > n_cand:
         blk = jnp.concatenate(
-            [blk, jnp.zeros((4 * GROUP, g_pad - n_groups), jnp.float32)], axis=1)
+            [blk, jnp.zeros((4 * gc, g_pad - n_cand), jnp.float32)], axis=1)
     hi = blk.astype(jnp.bfloat16)
     res = blk - hi.astype(jnp.float32)
     mid = res.astype(jnp.bfloat16)
     lo = (res - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     grp = jnp.concatenate([hi, mid, lo], axis=1)
+
+    if m_c > 1:
+        # Candidate-group AABBs (unions of m_c base-group boxes, built from the
+        # pre-fill inf/-inf bounds so all-padding unions invert) appended as
+        # extra gaabb columns after [groups | supergroups].
+        pad32 = n_cand * m_c - n_groups
+        cmin = jnp.concatenate(
+            [gmin, jnp.full((3, pad32), jnp.inf)], axis=1) if pad32 else gmin
+        cmax = jnp.concatenate(
+            [gmax, jnp.full((3, pad32), -jnp.inf)], axis=1) if pad32 else gmax
+        cmin = jnp.min(cmin.reshape(3, n_cand, m_c), axis=2)
+        cmax = jnp.max(cmax.reshape(3, n_cand, m_c), axis=2)
+        cempty = ~jnp.isfinite(cmin[0])
+        cmin = jnp.where(cempty[None, :], 1.0, cmin)
+        cmax = jnp.where(cempty[None, :], -1.0, cmax)
+        gaabb = jnp.concatenate(
+            [jnp.concatenate([gaabb[:3], cmin], axis=1),
+             jnp.concatenate([gaabb[3:], cmax], axis=1)], axis=0)
     return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri, grp=grp)
 
 
