@@ -104,6 +104,28 @@ def test_cube_wins_where_nearer():
     assert np.abs(np.asarray(f3.image) - img).max() > 0.05
 
 
+def test_sharded_frame_accepts_raster_buffers():
+    """Per-pixel raster buffers flow through the SPMD frame step (composite
+    happens outside shard_map, partitioned by XLA) and match the unsharded
+    renderer exactly."""
+    from bevyray_tpu.parallel.sharding import make_mesh, render_frame_sharded
+
+    world = _cube_world()
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=3,
+                       level=1)
+    cam = world.camera_state(aspect=1.0)
+    rc, rd = raster_layer(world, cam, cfg)
+    scene = world.extract(with_bvh=False)
+
+    want = np.asarray(Renderer(cfg).render(scene, cam, seed=5, raster_color=rc,
+                                           raster_depth=rd).image)
+    mesh = make_mesh(2, 2, 2)
+    got = np.asarray(render_frame_sharded(mesh, scene, cam, cfg, frame_seed=5,
+                                          raster_color=rc,
+                                          raster_depth=rd).image)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_final_scene_has_the_cube():
     world = rtiow.final_scene(seed=42, grid=2)
     assert world.n_raster == 1
