@@ -42,9 +42,17 @@ def _draw_ball(stream, base, first_slot):
 def resolve_intersect_backend(scene: SceneBuffers, config: RenderConfig) -> str:
     """Resolve ``'auto'`` to a concrete backend ONCE, considering all primitive
     types, so the sphere and triangle paths agree (a triangle-heavy scene must
-    not brute-force its triangles just because the sphere table is small)."""
+    not brute-force its triangles just because the sphere table is small).
+
+    On a real TPU ``auto`` never picks ``bvh``: the per-lane stack traversal is
+    catastrophically slow on the VPU (measured 0.02 Mrays/s vs 13.9 for the
+    megakernel on a 5000-sphere scene — divergent while_loop + gathers), so the
+    BVH backend is a CPU/parity path there unless explicitly requested.
+    """
     backend = config.intersect_backend
     if backend == "auto":
+        if jax.default_backend() == "tpu":
+            return "brute"
         cap = scene.spheres.capacity
         if scene.triangles is not None:
             cap = max(cap, scene.triangles.capacity)

@@ -1083,11 +1083,14 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
         # Candidate-group AABBs (unions of m_c base-group boxes, built from the
         # pre-fill inf/-inf bounds so all-padding unions invert) appended as
         # extra gaabb columns after [groups | supergroups].
+        # gmin/gmax may have been padded to a SUPER multiple above — slice back
+        # to the real group count before aggregating into candidate boxes.
+        base_min, base_max = gmin[:, :n_groups], gmax[:, :n_groups]
         pad32 = n_cand * m_c - n_groups
-        cmin = jnp.concatenate(
-            [gmin, jnp.full((3, pad32), jnp.inf)], axis=1) if pad32 else gmin
-        cmax = jnp.concatenate(
-            [gmax, jnp.full((3, pad32), -jnp.inf)], axis=1) if pad32 else gmax
+        cmin = (jnp.concatenate([base_min, jnp.full((3, pad32), jnp.inf)],
+                                axis=1) if pad32 else base_min)
+        cmax = (jnp.concatenate([base_max, jnp.full((3, pad32), -jnp.inf)],
+                                axis=1) if pad32 else base_max)
         cmin = jnp.min(cmin.reshape(3, n_cand, m_c), axis=2)
         cmax = jnp.max(cmax.reshape(3, n_cand, m_c), axis=2)
         cempty = ~jnp.isfinite(cmin[0])

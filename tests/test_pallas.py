@@ -83,6 +83,42 @@ def test_candidate_walk_bit_matches_grouped_walk():
         assert float(got.rays_traced) == float(want.rays_traced)
 
 
+def test_candidate_walk_fuzz_random_scenes():
+    """Random scenes across the group-size ladder (gc=32 single-chunk through
+    gc=64+ chunked, overlapping spheres, degenerate radii) — the candidate walk
+    must stay bit-identical to the grouped walk on every one."""
+    import dataclasses
+
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform)
+    from bevyray_tpu.scene.world import World
+
+    for seed, n in [(0, 17), (1, 300), (2, 1100)]:
+        rng = np.random.RandomState(seed)
+        w = World()
+        w.set_camera(Transform.from_xyz(0, 2, 9).looking_at((0, 0, 0)),
+                     camera=RaytracedCamera(level=Raytracing.PURE))
+        for _ in range(n):
+            p = rng.uniform(-6, 6, 3)
+            w.spawn_sphere(
+                Transform.from_xyz(*p),
+                RaytracedSphere(float(rng.uniform(0.05, 1.5))),
+                StandardMaterial(base_color=tuple(rng.rand(3)),
+                                 metallic=float(rng.rand() < 0.3),
+                                 specular_transmission=float(rng.rand() < 0.1)))
+        scene = w.extract(with_bvh=False)
+        cam = w.camera_state(aspect=1.0)
+        cfg = RenderConfig(width=16, height=16, samples_per_pixel=1, bounces=3,
+                           level=3, pallas_intersect="grouped")
+        want = PallasRenderer(cfg).render(scene, cam, seed=seed + 50)
+        got = PallasRenderer(dataclasses.replace(
+            cfg, pallas_intersect="candidates")).render(scene, cam,
+                                                        seed=seed + 50)
+        np.testing.assert_array_equal(np.asarray(got.image),
+                                      np.asarray(want.image),
+                                      err_msg=f"scene seed={seed} n={n}")
+
+
 def test_pallas_final_scene_many_spheres():
     """Multi-chunk sphere loop (508 spheres → 4 chunks of 128)."""
     world = rtiow.final_scene(seed=42)
