@@ -178,6 +178,43 @@ class RenderConfig:
     # full table; "candidates" = per-lane group bitmasks + one-hot MXU group
     # gathers (sublinear per ray, value-identical); "auto" picks per scene size.
     pallas_intersect: str = "auto"   # "auto" | "grouped" | "candidates"
+    # Megakernel bounce-0 strategy: "split" = trace every sample's primary
+    # segment in a coherent phase against host-built per-block shortlists
+    # (kernels/pallas/primary.py), then run bounces ≥ 1 persistently from
+    # stored states; "off" = single persistent loop. "auto" = split whenever
+    # supported (spp ≤ 32). Value-identical either way.
+    pallas_primary: str = "auto"     # "auto" | "split" | "off"
+    # Sphere-test discriminant handling in the megakernel walks: True drops
+    # the explicit disc ≥ 0 test and lets sqrt(disc < 0) = NaN fail both
+    # accept compares (IEEE: NaN compares false) — 3 fewer vector ops per
+    # sphere test, bit-identical accept set and image.
+    pallas_fast_disc: bool = True
+
+    def __post_init__(self):
+        # Fail at construction with actionable messages — these values shape
+        # the compiled program, so a bad one otherwise surfaces as an opaque
+        # trace-time shape error deep inside jit.
+        if self.width < 1 or self.height < 1:
+            raise ValueError(f"frame size {self.width}x{self.height} must be "
+                             "at least 1x1")
+        if self.samples_per_pixel < 1:
+            raise ValueError(f"samples_per_pixel {self.samples_per_pixel} "
+                             "must be >= 1")
+        if self.bounces < 0:
+            raise ValueError(f"bounces {self.bounces} must be >= 0")
+        if self.level not in (0, 1, 2, 3):
+            raise ValueError(f"level {self.level} must be one of 0..3 "
+                             "(Raytracing enum)")
+        if self.sphere_chunk < 1:
+            raise ValueError(f"sphere_chunk {self.sphere_chunk} must be >= 1")
+        for field, allowed in (("intersect_backend", ("auto", "brute", "bvh")),
+                               ("diffuse_sampling", ("reference", "cosine")),
+                               ("pallas_intersect",
+                                ("auto", "grouped", "candidates")),
+                               ("pallas_primary", ("auto", "split", "off"))):
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(f"{field}={v!r} must be one of {allowed}")
 
     @property
     def n_pixels(self) -> int:

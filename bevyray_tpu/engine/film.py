@@ -125,7 +125,8 @@ def _jitted_resolve(config: RenderConfig):
 
 
 def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
-                           config: RenderConfig, frame_seed, sample_offset) -> Film:
+                           config: RenderConfig, frame_seed, sample_offset,
+                           sl=None, slmeta=None) -> Film:
     """Megakernel-backed accumulation: one fused kernel pass traces
     ``config.samples_per_pixel`` fresh samples (offset so streams never repeat)
     and returns SUMS that fold into the film."""
@@ -133,7 +134,7 @@ def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
 
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         sample_offset=sample_offset,
-                                        normalize=False)
+                                        normalize=False, sl=sl, slmeta=slmeta)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
     return Film(color_sum=film.color_sum + Vec3(r, g, b),
                 depth_sum=film.depth_sum + depth,
@@ -193,10 +194,30 @@ class ProgressiveRenderer:
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
                 self._prepare_cache = (sid, leaves,
                                        jax.jit(prepare_pallas_scene)(scene))
+                self._sl_cache = None
+            pscene = self._prepare_cache[2]
+            # Host-built primary shortlists for phase-split bounce 0 (cached;
+            # the film already resets on camera change, so keying on the scene
+            # id + cam key suffices).
+            from ..kernels.pallas.megakernel import MAX_SPLIT_SPP
+            sl = slmeta = None
+            if (self.config.pallas_primary != "off"
+                    and self.config.samples_per_pixel <= MAX_SPLIT_SPP
+                    and self.config.level != 0):
+                cache = getattr(self, "_sl_cache", None)
+                if cache is not None and cache[0] == (sid, key):
+                    sl, slmeta = cache[1]
+                else:
+                    from ..kernels.pallas.primary import build_block_shortlists
+                    sl, slmeta = build_block_shortlists(
+                        np.asarray(pscene.sph), cam, self.config)
+                    sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
+                    self._sl_cache = ((sid, key), (sl, slmeta))
             self.film = self._accumulate(
-                film=self.film, pscene=self._prepare_cache[2], cam=cam,
+                film=self.film, pscene=pscene, cam=cam,
                 frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
-                sample_offset=jnp.uint32(self._sample_offset))
+                sample_offset=jnp.uint32(self._sample_offset),
+                sl=sl, slmeta=slmeta)
         else:
             self.film = self._accumulate(
                 film=self.film, scene=scene, cam=cam,

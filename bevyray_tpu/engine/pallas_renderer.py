@@ -20,7 +20,8 @@ from .renderer import FrameResult
 
 def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                        frame_seed, raster_color: Vec3, raster_depth,
-                       exact_rng: bool = False) -> FrameResult:
+                       exact_rng: bool = False, sl=None,
+                       slmeta=None) -> FrameResult:
     h, w = config.height, config.width
     n = h * w
     if config.level == 0:   # Skip: raster passthrough, no tracing (wgsl:97-99)
@@ -31,7 +32,8 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
                            rt_depth=jnp.zeros((h, w), jnp.float32),
                            rays_traced=jnp.float32(0.0))
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
-                                        exact_rng=exact_rng)
+                                        exact_rng=exact_rng, sl=sl,
+                                        slmeta=slmeta)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
     rt_color = Vec3(r, g, b)
     rt_depth = depth
@@ -72,6 +74,7 @@ class PallasRenderer:
         self.exact_rng = exact_rng
         self._fn = _jitted(config, exact_rng)
         self._pscene_cache = None
+        self._sl_cache = None
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:
         # Key on every leaf that feeds prepare_pallas_scene (spheres AND
@@ -85,6 +88,37 @@ class PallasRenderer:
         self._pscene_cache = (key, leaves, pscene)
         return pscene
 
+    def shortlists(self, pscene: PallasScene, cam: CameraState):
+        """Host-built per-block primary shortlists for phase-split bounce 0
+        (kernels.pallas.primary) — or (None, None) when disabled/unsupported.
+        Cached on (scene tables, camera, config); needs concrete camera values,
+        so it runs outside jit."""
+        from ..kernels.pallas.megakernel import MAX_SPLIT_SPP
+        if (self.config.pallas_primary == "off"
+                or self.config.samples_per_pixel > MAX_SPLIT_SPP
+                or self.config.level == 0):
+            if self.config.pallas_primary == "split":
+                raise ValueError(
+                    "pallas_primary='split' needs samples_per_pixel <= "
+                    f"{MAX_SPLIT_SPP} and a raytraced level")
+            return None, None
+        import numpy as np
+        cam_key = tuple(
+            float(v) for v in (cam.position.x, cam.position.y, cam.position.z,
+                               cam.direction.x, cam.direction.y,
+                               cam.direction.z, cam.up.x, cam.up.y, cam.up.z,
+                               cam.fov, cam.aspect, cam.aperture,
+                               cam.focus_distance))
+        key = (self._pscene_cache[0], cam_key)
+        if self._sl_cache is not None and self._sl_cache[0] == key:
+            return self._sl_cache[1]
+        from ..kernels.pallas.primary import build_block_shortlists
+        sl, slmeta = build_block_shortlists(np.asarray(pscene.sph), cam,
+                                            self.config)
+        out = (jnp.asarray(sl), jnp.asarray(slmeta))
+        self._sl_cache = (key, out)
+        return out
+
     def render(self, scene: SceneBuffers, cam: CameraState, seed: int,
                raster_color: Optional[Vec3] = None,
                raster_depth=None) -> FrameResult:
@@ -93,6 +127,8 @@ class PallasRenderer:
         if raster_depth is None:
             raster_depth = jnp.float32(0.0)
         pscene = self.prepare(scene)
+        sl, slmeta = self.shortlists(pscene, cam)
         return self._fn(pscene=pscene, cam=cam,
                         frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
-                        raster_color=raster_color, raster_depth=raster_depth)
+                        raster_color=raster_color, raster_depth=raster_depth,
+                        sl=sl, slmeta=slmeta)

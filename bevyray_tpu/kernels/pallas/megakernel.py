@@ -71,6 +71,16 @@ assert BLOCK_W * BLOCK_H == TILE, "pixel blocks must tile exactly onto rays"
 SPHERE_CHUNK = 128     # sphere-table capacity granularity (lane multiple)
 SUPER = 8              # groups per supergroup (two-level culling, big scenes)
 
+# Phase-split stored-state fields (one (TILE_SUB, 128) plane per sample slot):
+# post-bounce-0 ray origin/direction, throughput color, accumulated radiance,
+# first-hit depth, alive weight, true sample id (redirect compaction reorders
+# slots, so the id rides along for RNG stream keying and next-slot arithmetic).
+N_ST = 15
+(ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ, ST_RCX, ST_RCY, ST_RCZ,
+ ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
+MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under VMEM
+_DEBUG_STATIC_FETCH = False   # timing probe only (wrong images): see fetch()
+
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
 _C_HI, _C_LO = 0, 3            # cx, cy, cz
 _M_HI, _M_LO = 6, 16           # base rgb, metallic, rough, ior, trans, emissive rgb
@@ -258,7 +268,8 @@ def _use_candidate_walk(config: RenderConfig, n_spheres_padded: int) -> bool:
 
 
 def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
-                       active, n_spheres: int, unroll: int = GROUP):
+                       active, n_spheres: int, unroll: int = GROUP,
+                       fast_disc: bool = False):
     """Scalar-loop intersection with per-tile group culling.
 
     One sphere at a time streams as SMEM scalars (the one place dynamic scalar
@@ -300,8 +311,14 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
         h = dx * ocx + dy * ocy + dz * ocz
         cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
         disc = h * h - a * cc
-        q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-        better = ((disc >= 0.0) & (q > q_min) & (q < best_q))
+        if fast_disc:
+            # sqrt(disc < 0) = NaN fails BOTH accept compares (IEEE), exactly
+            # like the explicit disc ≥ 0 test — 3 fewer vector ops, same set.
+            q = h - jnp.sqrt(disc)
+            better = (q > q_min) & (q < best_q)
+        else:
+            q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+            better = ((disc >= 0.0) & (q > q_min) & (q < best_q))
         best_q = jnp.where(better, q, best_q)
         best_i = jnp.where(better, s, best_i)
         return best_q, best_i
@@ -374,6 +391,74 @@ def _intersect_grouped(origin: Vec3, direction: Vec3, sph_ref, gaabb_ref,
     return best_t, best_i
 
 
+def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
+                         row, in_image, k_cap: int, fast_disc: bool = False):
+    """Bounce-0 intersection against this block's host-built primary shortlist
+    (kernels.pallas.primary) — the phase-split twin of ``_intersect_grouped``.
+
+    The shortlist is front-to-back sorted and chunked by SL_CHUNK; the walk
+    stops at the first chunk whose conservative entry distance no live ray's
+    current best hit can beat (chunk t_lo is non-decreasing, so nothing later
+    can help either). Per-sphere arithmetic is identical to
+    ``_intersect_grouped.one_sphere`` (q = a·t carry, strict < tie-keeping);
+    the 5th shortlist row carries the GLOBAL sphere index so attribute
+    gathering is unchanged. Off-image lanes start at best_q = 0: they can
+    never accept a hit (q > q_min > 0) and never vote a chunk useful, so edge
+    blocks still early-out.
+    """
+    from .primary import SL_CHUNK
+
+    a = direction.dot(direction)
+    inv_a = 1.0 / a
+    ox, oy, oz = origin.x, origin.y, origin.z
+    dx, dy, dz = direction.x, direction.y, direction.z
+    q_min = a * T_MIN
+    n_chunks = k_cap // SL_CHUNK
+
+    def one_sphere(s, best_q, best_i):
+        # sl_ref holds 8 tiles' (5·k_cap) rows (Mosaic wants SMEM block
+        # sublane dims divisible by 8); ``row`` picks this tile's.
+        cx = sl_ref[row, s]
+        cy = sl_ref[row, k_cap + s]
+        cz = sl_ref[row, 2 * k_cap + s]
+        r2 = sl_ref[row, 3 * k_cap + s]
+        gi = sl_ref[row, 4 * k_cap + s].astype(jnp.int32)
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = h * h - a * cc
+        if fast_disc:       # NaN(disc<0) fails both compares — same accept set
+            q = h - jnp.sqrt(disc)
+            better = (q > q_min) & (q < best_q)
+        else:
+            q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+            better = ((disc >= 0.0) & (q > q_min) & (q < best_q))
+        best_q = jnp.where(better, q, best_q)
+        best_i = jnp.where(better, gi, best_i)
+        return best_q, best_i
+
+    def cond(carry):
+        c, best_q, _ = carry
+        t_lo = meta_ref[row, 1 + jnp.minimum(c, n_chunks - 1)]
+        useful = a * t_lo < best_q
+        return (c < n_chunks) & (jnp.max(jnp.where(useful, 1.0, 0.0)) > 0.0)
+
+    def body(carry):
+        c, best_q, best_i = carry
+        for j in range(SL_CHUNK):
+            best_q, best_i = one_sphere(c * SL_CHUNK + j, best_q, best_i)
+        return c + 1, best_q, best_i
+
+    init = (jnp.int32(0),
+            jnp.where(in_image, INF, 0.0).astype(jnp.float32),
+            jnp.full((TILE_SUB, 128), -1, jnp.int32))
+    _, best_q, best_i = jax.lax.while_loop(cond, body, init)
+    best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
+    return best_t, best_i
+
+
 # Bit masks for the lowest-set-bit → index extraction (i32; bit 31 unused, so
 # group counts on this path are capped at 31 and the top pattern stays positive).
 _LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
@@ -392,7 +477,7 @@ def _lsb_index(lsb):
 
 
 def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
-                          active, n_spheres: int):
+                          active, n_spheres: int, fast_disc: bool = False):
     """Per-lane candidate-group walk — the sublinear alternative to
     ``_intersect_grouped`` (capability twin of the reference's per-thread BVH
     traversal, raytrace.wgsl:313-346, re-shaped for the VPU/MXU).
@@ -514,8 +599,12 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                      + dz[r:r + 1, :] * ocz)
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
                 disc = h * h - a[r:r + 1, :] * cc
-                q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-                ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
+                if fast_disc:   # NaN(disc<0) > q_min is false — same reject
+                    q = h - jnp.sqrt(disc)
+                    ok = q > q_min[r:r + 1, :]
+                else:
+                    q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
                 qv = jnp.where(ok, q, INF)
                 iv = (g_lane[r:r + 1, :] * gc + (c * GROUP)
                       + iota_k)                               # (GROUP, 128)
@@ -626,7 +715,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    grp_ref, out_r_ref, out_g_ref, out_b_ref, out_depth_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
-                   normalize: bool = True):
+                   normalize: bool = True, sl_ref=None, slmeta_ref=None,
+                   st_ref=None):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -712,17 +802,21 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             d = (focal - o).normalize()
         return o, d
 
+    fast_disc = getattr(config, "pallas_fast_disc", False)
+
+    def intersect_full(o, d, active):
+        if use_candidates:
+            return _intersect_candidates(o, d, grp_table, gaabb_ref, active,
+                                         n_spheres_padded, fast_disc=fast_disc)
+        return _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
+                                  n_spheres_padded, fast_disc=fast_disc)
+
     def bounce_core(o, d, active, b_vec, provider, ray_color, radiance,
-                    first_depth):
+                    first_depth, intersect_fn=None):
         """One path segment for every lane: intersect, sky/emissive radiance,
         scatter. Returns the post-segment ray state plus hit/continue masks.
         ``b_vec`` may be a scalar (classic per-sample loop) or per-lane."""
-        if use_candidates:
-            t, idx = _intersect_candidates(o, d, grp_table, gaabb_ref, active,
-                                           n_spheres_padded)
-        else:
-            t, idx = _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
-                                        n_spheres_padded)
+        t, idx = (intersect_fn or intersect_full)(o, d, active)
         if n_tris_padded:
             t, idx = _intersect_triangles_scalar(
                 o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
@@ -773,7 +867,150 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     if not exact_rng:
         hw_provider = HwRngProvider(block, sample_offset, frame_seed)
 
-    if persistent:
+    if st_ref is not None:
+        # ---- phase-split sampling -------------------------------------------
+        # Bounce 0 of EVERY sample is traced first in a fully coherent pass
+        # against this block's host-built primary shortlist (~7 of 512 spheres
+        # on the bench scene — kernels/pallas/primary.py), with continuing-path
+        # state parked in VMEM scratch; bounces ≥ 1 then run the persistent
+        # loop, restarting dead lanes from their pixel's next stored sample via
+        # a static one-hot slot fetch (~2% of one loop iteration's op budget —
+        # per-lane dynamic indexing has no Mosaic lowering, selects do).
+        # Draws stay keyed by (pixel, sample, slot), so exact-RNG images agree
+        # with the classic and persistent loops to fma-contraction ulps.
+        spp_s = config.samples_per_pixel
+        k_cap = sl_ref.shape[-1] // 5   # primary.N_SL_ROWS
+        sl_row = jax.lax.rem(tile_id, 8)  # row within the 8-tile SMEM block
+
+        def intersect_primary(o, d, active):
+            # Per-block overflow flag → full walk (tile-uniform scalar branch;
+            # the carried operands are just the two result arrays).
+            return jax.lax.cond(
+                slmeta_ref[sl_row, 0] > 0.0,
+                lambda: intersect_full(o, d, active),
+                lambda: _intersect_shortlist(o, d, sl_ref, slmeta_ref, sl_row,
+                                             active & in_image, k_cap,
+                                             fast_disc=fast_disc))
+
+        def st_write(s, f, val):
+            st_ref[pl.ds(s, 1), pl.ds(f * TILE_SUB, TILE_SUB), :] = (
+                val[None, :, :])
+
+        def st_read(k, f):  # static k
+            return st_ref[k, f * TILE_SUB:(f + 1) * TILE_SUB, :]
+
+        def harvest(died, rad, fd, cr, cg, cb, dsum):
+            g = linear_to_gamma(rad)
+            cr = cr + jnp.where(died, g.x, 0.0)
+            cg = cg + jnp.where(died, g.y, 0.0)
+            cb = cb + jnp.where(died, g.z, 0.0)
+            depth_fin = jnp.where(fd >= INF, fallback_far, fd)
+            dsum = dsum + jnp.where(died, depth_fin, 0.0)
+            return cr, cg, cb, dsum
+
+        def phase_a(s, acc):
+            cr, cg, cb, dsum, segsum = acc
+            provider = make_provider(s)
+            o, d = raygen(provider)
+            o, d, rc, rad, fd, cont = bounce_core(
+                o, d, in_image, s * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
+                Vec3.full(n, 0.0, 0.0, 0.0), jnp.full(n, INF, jnp.float32),
+                intersect_fn=intersect_primary)
+            if config.bounces < 1:
+                cont = cont & False
+            died = in_image & ~cont
+            cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+            segsum = segsum + jnp.where(in_image, 1.0, 0.0)
+            for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
+                           (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
+                           (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
+                           (ST_RADX, rad.x), (ST_RADY, rad.y),
+                           (ST_RADZ, rad.z), (ST_FD, fd),
+                           (ST_W, jnp.where(cont, 1.0, 0.0)),
+                           (ST_SID, jnp.broadcast_to(
+                               s.astype(jnp.float32), n))):
+                st_write(s, f, val)
+            return cr, cg, cb, dsum, segsum
+
+        cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
+            0, spp_s, phase_a, (zero2, zero2, zero2, zero2, zero2))
+
+        # Redirect compaction: slot s comes to hold the state of the first
+        # ALIVE slot ≥ s (with its true sample id), so phase B's "next sample"
+        # is always slot (consumed sid + 1) — no per-lane scanning.
+        cur = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
+        cur[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
+        for s in reversed(range(spp_s)):
+            slot = [st_read(s, f) for f in range(N_ST)]
+            alive = slot[ST_W] > 0.0
+            cur = [jnp.where(alive, slot[f], cur[f]) for f in range(N_ST)]
+            for f in range(N_ST):
+                st_ref[s, f * TILE_SUB:(f + 1) * TILE_SUB, :] = cur[f]
+
+        if config.bounces >= 1:
+            def fetch(slot_vec):
+                out = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
+                out[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
+                if _DEBUG_STATIC_FETCH:
+                    # Timing probe (WRONG images, identical trip counts):
+                    # w/sid stay one-hot so control flow is unchanged; the 13
+                    # payload fields read one static slot.
+                    for k in range(1, spp_s):
+                        m = slot_vec == k
+                        for f in (ST_W, ST_SID):
+                            out[f] = jnp.where(m, st_read(k, f), out[f])
+                    for f in range(N_ST):
+                        if f not in (ST_W, ST_SID):
+                            out[f] = st_read(min(1, spp_s - 1), f)
+                    return out
+                for k in range(1, spp_s):
+                    m = slot_vec == k
+                    for f in range(N_ST):
+                        out[f] = jnp.where(m, st_read(k, f), out[f])
+                return out
+
+            def cond(carry):
+                return jnp.max(carry[0]) > 0.0
+
+            def body(carry):
+                (w, sid_f, b_lane, o, d, rc, rad, fd,
+                 cr, cg, cb, dsum, segsum) = carry
+                active = w > 0.0
+                provider = make_provider(sid_f.astype(jnp.int32))
+                o, d, rc, rad, fd, cont = bounce_core(
+                    o, d, active, b_lane, provider, rc, rad, fd)
+                cont = cont & (b_lane < config.bounces)
+                died = active & ~cont
+                cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+                segsum = segsum + jnp.where(active, 1.0, 0.0)
+                nxt = fetch(sid_f.astype(jnp.int32) + 1)
+                take = died & (nxt[ST_W] > 0.0)
+                o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
+                               o)
+                d = Vec3.where(take, Vec3(nxt[ST_DX], nxt[ST_DY], nxt[ST_DZ]),
+                               d)
+                rc = Vec3.where(take,
+                                Vec3(nxt[ST_RCX], nxt[ST_RCY], nxt[ST_RCZ]),
+                                rc)
+                rad = Vec3.where(
+                    take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]), rad)
+                fd = jnp.where(take, nxt[ST_FD], fd)
+                sid_f = jnp.where(died, nxt[ST_SID], sid_f)
+                w = jnp.where(died, nxt[ST_W], w)
+                b_lane = jnp.where(cont, b_lane + 1, 1)
+                return (w, sid_f, b_lane, o, d, rc, rad, fd,
+                        cr, cg, cb, dsum, segsum)
+
+            st0 = [st_read(0, f) for f in range(N_ST)]
+            init = (st0[ST_W], st0[ST_SID], jnp.ones(n, jnp.int32),
+                    Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
+                    Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
+                    Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]),
+                    Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ]),
+                    st0[ST_FD], cr, cg, cb, dsum, segsum)
+            out = jax.lax.while_loop(cond, body, init)
+            (_, _, _, _, _, _, _, _, cr, cg, cb, dsum, segsum) = out
+    elif persistent:
         # ---- persistent sampling: a lane whose path ends immediately starts
         # its pixel's next sample, so tiles stay near-full occupancy instead of
         # idling masked until the slowest path of every sample finishes.
@@ -1137,18 +1374,29 @@ def unshuffle_blocks(flat, config: RenderConfig):
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                  frame_seed, exact_rng: bool = False, block_offset=0,
                  sample_offset=0, n_blocks_local=None, normalize: bool = True,
-                 persistent: bool = True):
+                 persistent: bool = True, sl=None, slmeta=None):
     """Run the megakernel over the frame (or one shard of it when
     ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
     multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
     (pass through :func:`unshuffle_blocks`) plus the traced-segment count (f32
     scalar); with ``normalize=False`` color/depth come back as sample SUMS for a
-    cross-device psum."""
+    cross-device psum.
+
+    ``sl``/``slmeta``: optional per-block primary shortlists (built by
+    kernels.pallas.primary, one row per LOCAL tile) — when given (and
+    ``persistent``), the kernel runs in phase-split mode: a coherent bounce-0
+    pass over every sample against the shortlist, then the persistent loop for
+    bounces ≥ 1 restarting from VMEM-parked sample states."""
     nbx, nby = block_grid(config)
     n_tiles = n_blocks_local if n_blocks_local is not None else nbx * nby
     s = pscene.sph.shape[1]
     n_tris = pscene.tri.shape[1]
     assert s % SPHERE_CHUNK == 0
+    phase_split = sl is not None and persistent
+    if phase_split:
+        assert config.samples_per_pixel <= MAX_SPLIT_SPP
+        assert sl.shape[0] == n_tiles and slmeta.shape[0] == n_tiles, \
+            "shortlists must cover exactly the local tile range"
 
     cam_row = _pack_camera(cam, config)
     seed = jnp.stack([jnp.asarray(frame_seed, jnp.uint32),
@@ -1163,37 +1411,72 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     interpret = jax.default_backend() != "tpu"
     if interpret:
         exact_rng = True
-    kernel = functools.partial(_render_kernel, config=config, n_spheres_padded=s,
-                               n_tris_padded=n_tris, exact_rng=exact_rng,
-                               persistent=persistent, normalize=normalize)
+    base_kernel = functools.partial(
+        _render_kernel, config=config, n_spheres_padded=s,
+        n_tris_padded=n_tris, exact_rng=exact_rng,
+        persistent=persistent, normalize=normalize)
     tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((6, pscene.gaabb.shape[1]), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((10, max(n_tris, 1)), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        full((N_ATTR, s + n_tris)),
+        full(pscene.grp.shape),
+    ]
+    scratch_shapes = []
+    if phase_split:
+        # Mosaic wants SMEM block sublane dims divisible by 8, so shortlists
+        # ride in 8-tile row groups (index_map i // 8, kernel reads row i % 8).
+        sl2d = jnp.asarray(sl, jnp.float32).reshape(sl.shape[0], -1)
+        slmeta2d = jnp.asarray(slmeta, jnp.float32)
+        pad_rows = (-n_tiles) % 8
+        if pad_rows:
+            sl2d = jnp.concatenate(
+                [sl2d, jnp.zeros((pad_rows, sl2d.shape[1]), jnp.float32)])
+            slmeta2d = jnp.concatenate(
+                [slmeta2d,
+                 jnp.zeros((pad_rows, slmeta2d.shape[1]), jnp.float32)])
+        in_specs += [
+            pl.BlockSpec((8, sl2d.shape[1]), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, slmeta2d.shape[1]), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        scratch_shapes = [pltpu.VMEM(
+            (config.samples_per_pixel, N_ST * TILE_SUB, 128), jnp.float32)]
+
+        def kernel(cam_r, seed_r, sph_r, gaabb_r, tri_r, attr_r, grp_r,
+                   sl_r, slmeta_r, o_r, o_g, o_b, o_d, o_s, st_r):
+            base_kernel(cam_r, seed_r, sph_r, gaabb_r, tri_r, attr_r, grp_r,
+                        o_r, o_g, o_b, o_d, o_s, sl_ref=sl_r,
+                        slmeta_ref=slmeta_r, st_ref=st_r)
+    else:
+        kernel = base_kernel
     outs_fn = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, N_CAM), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, s), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, pscene.gaabb.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((10, max(n_tris, 1)), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            full((N_ATTR, s + n_tris)),
-            full(pscene.grp.shape),
-        ],
+        in_specs=in_specs,
         out_specs=[tile_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
         ] * 5,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
     tri_in = (pscene.tri if n_tris
               else jnp.zeros((10, 1), jnp.float32))
-    outs = outs_fn(cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr,
-                   pscene.grp)
+    args = [cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr,
+            pscene.grp]
+    if phase_split:
+        args += [sl2d, slmeta2d]
+    outs = outs_fn(*args)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)

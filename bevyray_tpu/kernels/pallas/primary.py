@@ -1,0 +1,163 @@
+"""Host-side per-block primary-ray sphere shortlists for the megakernel.
+
+The megakernel's phase-split mode traces every sample's bounce-0 segment in a
+fully coherent pass (see ``megakernel._render_kernel``). Because a 64×64 pixel
+block's primary rays share ~3° of field of view, the set of spheres any of them
+can hit is tiny (measured on the RTiOW final scene: mean ~7 of 512, max 23 per
+block), so the bounce-0 intersection can walk a per-block shortlist instead of
+the whole table. This module builds those shortlists on the host — it needs
+concrete camera values, so it runs OUTSIDE jit, once per (scene, camera,
+config), in NumPy (~0.5 ms for 510 blocks × 512 spheres).
+
+Conservativeness contract (what makes the fast path exact): a sphere is culled
+from a block's shortlist only if NO primary ray of that block can hit it.
+Primary rays differ from the block's pinhole frustum by (a) sub-pixel jitter —
+covered by widening the frustum to the block's pixel BOUNDS plus the jitter
+half-width in NDC (raygen adds (ju-0.5)/w_px of NDC, reference
+raytrace.wgsl:139-156) — and (b) the thin-lens aperture offset (extension,
+default off) — covered by inflating every sphere's radius with a distance-aware
+defocus margin (a defocus ray at forward parameter t = z/focus_distance strays
+at most (aperture/2)·max(1, t-1) from SOME pinhole ray through the same focal
+point).
+
+Shortlists are front-to-back sorted by a per-sphere lower bound on the hit
+distance, t_lo = max(0, |c - cam| - r - lens_radius), and chunked by SL_CHUNK;
+each chunk's t_lo lets the kernel stop walking as soon as no live ray's current
+best hit can be beaten (the chunk t_lo sequence is non-decreasing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SL_CHUNK = 8      # spheres per early-out chunk (kernel unrolls this)
+SL_MAX = 256      # capacity cap; blocks needing more fall back to the full walk
+N_SL_ROWS = 5     # cx, cy, cz, r², global sphere index (exact in f32 ≤ 2^24)
+
+
+def shortlist_capacity(counts: np.ndarray) -> int:
+    """Static per-compile capacity: max block count rounded up to SL_CHUNK."""
+    need = int(counts.max()) if counts.size else 0
+    return max(SL_CHUNK, min(SL_MAX, -(-need // SL_CHUNK) * SL_CHUNK))
+
+
+def build_block_shortlists(sph: np.ndarray, cam, config,
+                           block_lo: int = 0, n_blocks: int | None = None):
+    """Per-block primary shortlists.
+
+    ``sph``: the kernel sphere table, (4, S) float32 rows cx, cy, cz, r²
+    (morton-sorted, padding lanes duplicate sphere 0 — exact trailing
+    duplicates of column 0 are dropped here: a duplicate ties sphere 0's t
+    bit-exactly and loses the strict-< test, so removing it never changes the
+    winner). ``cam``: a concrete CameraState. Returns ``(sl, meta)``:
+
+    - ``sl``  (n_blocks, 5, K) f32 — front-to-back sphere rows; padding
+      entries use the empty-scene convention (origin, r² = -1e30 ⇒ disc < 0).
+    - ``meta`` (n_blocks, 1 + K//SL_CHUNK) f32 — [full_flag, chunk t_lo …];
+      chunks past the end carry +inf so the kernel's early-out loop never
+      enters them. full_flag = 1 ⇒ the block overflowed SL_MAX and the kernel
+      must use the full grouped walk for it.
+    """
+    from .megakernel import BLOCK_H, BLOCK_W, block_grid
+
+    sph = np.asarray(sph, np.float32)
+    s_total = sph.shape[1]
+    cx, cy, cz, r2 = sph
+
+    # Trailing padding duplicates of sphere 0 (prepare_pallas_scene) — drop.
+    live = r2 > 0.0
+    j = s_total
+    while j > 1 and np.all(sph[:, j - 1] == sph[:, 0]):
+        j -= 1
+    live[j:] = False
+
+    pos = np.array([float(cam.position.x), float(cam.position.y),
+                    float(cam.position.z)], np.float64)
+    fwd = np.array([float(cam.direction.x), float(cam.direction.y),
+                    float(cam.direction.z)], np.float64)
+    up = np.array([float(cam.up.x), float(cam.up.y), float(cam.up.z)],
+                  np.float64)
+    right = np.cross(fwd, up)                    # wgsl:149
+    scale = float(np.tan(float(cam.fov) * 0.5))
+    aspect = float(cam.aspect)
+    w, h = config.width, config.height
+
+    r = np.sqrt(np.maximum(r2, 0.0).astype(np.float64))
+    centers = np.stack([cx, cy, cz], axis=1).astype(np.float64)
+    oc = centers - pos                           # (S, 3)
+    lens_r = 0.0
+    r_eff = r.copy()
+    if config.defocus and float(cam.aperture) > 0.0:
+        lens_r = 0.5 * float(cam.aperture)
+        focus = max(float(cam.focus_distance), 1e-6)
+        d_fwd = oc @ fwd
+        t_par = np.maximum((d_fwd + r) / focus, 1.0)
+        r_eff = r + lens_r * t_par
+
+    nbx, nby = block_grid(config)
+    if n_blocks is None:
+        n_blocks = nbx * nby - block_lo
+
+    w_px = h * aspect                            # raygen jitter denominators
+    jx, jy = 0.5 / w_px, 0.5 / h
+
+    # The kernel traces in f32; these planes/bounds are f64. A distance-scaled
+    # safety margin keeps borderline f32 hits (tangent discriminants, long-ray
+    # lateral drift ~ dist·2⁻²⁰) strictly inside every conservative test.
+    dist = np.linalg.norm(oc, axis=1)
+    fp_eps = 1e-4 + 1e-5 * dist
+
+    # Distance lower bound (d is unit-normalized in raygen, so t = distance).
+    t_lo = np.maximum(dist - r - lens_r - fp_eps, 0.0)
+    order_key = np.where(live, t_lo, np.inf)
+
+    counts = np.zeros(n_blocks, np.int64)
+    members = []
+    for k in range(n_blocks):
+        b = block_lo + k
+        bx, by = b % nbx, b // nbx
+        x0, y0 = bx * BLOCK_W, by * BLOCK_H
+        nx_lo = (2.0 * (x0 + 0.5) / w - 1.0) - jx
+        nx_hi = (2.0 * (x0 + BLOCK_W - 0.5) / w - 1.0) + jx
+        ny_hi = (1.0 - 2.0 * (y0 + 0.5) / h) + jy
+        ny_lo = (1.0 - 2.0 * (y0 + BLOCK_H - 0.5) / h) - jy
+
+        def dirn(nx, ny):
+            return fwd + right * (nx * aspect * scale) + up * (ny * scale)
+
+        c00, c10 = dirn(nx_lo, ny_lo), dirn(nx_hi, ny_lo)
+        c01, c11 = dirn(nx_lo, ny_hi), dirn(nx_hi, ny_hi)
+        dc = dirn(0.5 * (nx_lo + nx_hi), 0.5 * (ny_lo + ny_hi))
+        inside = live.copy()
+        for pa, pb in ((c00, c01), (c10, c11), (c00, c10), (c01, c11)):
+            n = np.cross(pa, pb)
+            if np.dot(n, dc) < 0.0:
+                n = -n
+            n /= np.linalg.norm(n)
+            inside &= (oc @ n) >= -(r_eff + lens_r + fp_eps)
+        inside &= (oc @ fwd) >= -(r_eff + lens_r + fp_eps)  # behind the lens
+        idx = np.nonzero(inside)[0]
+        idx = idx[np.argsort(order_key[idx], kind="stable")]
+        counts[k] = idx.size
+        members.append(idx)
+
+    k_cap = shortlist_capacity(counts)
+    n_chunks = k_cap // SL_CHUNK
+    sl = np.zeros((n_blocks, N_SL_ROWS, k_cap), np.float32)
+    sl[:, 3, :] = np.float32(-1e30)              # inert padding: disc < 0 always
+    meta = np.zeros((n_blocks, 1 + n_chunks), np.float32)
+    meta[:, 1:] = np.inf
+    for k, idx in enumerate(members):
+        if idx.size > k_cap:
+            meta[k, 0] = 1.0                     # overflow: full walk
+            continue
+        m = idx.size
+        sl[k, 0, :m] = cx[idx]
+        sl[k, 1, :m] = cy[idx]
+        sl[k, 2, :m] = cz[idx]
+        sl[k, 3, :m] = r2[idx]
+        sl[k, 4, :m] = idx.astype(np.float32)
+        used = -(-m // SL_CHUNK)
+        if used:
+            meta[k, 1:1 + used] = t_lo[idx[::SL_CHUNK][:used]].astype(np.float32)
+    return sl, meta

@@ -216,14 +216,15 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     local_spp = config.samples_per_pixel // dp
     local_config = dataclasses.replace(config, samples_per_pixel=local_spp)
 
-    def body(pscene, cam, frame_seed):
+    def body(pscene, cam, frame_seed, sl=None, slmeta=None):
         sp_i = jax.lax.axis_index("sp")
         dp_i = jax.lax.axis_index("dp")
         r, g, b, depth, segs = render_tiles(
             pscene, cam, local_config, frame_seed,
             block_offset=(sp_i * blocks_local).astype(jnp.uint32),
             sample_offset=(dp_i * local_spp).astype(jnp.uint32),
-            n_blocks_local=blocks_local, normalize=False)
+            n_blocks_local=blocks_local, normalize=False,
+            sl=sl, slmeta=slmeta)
         # Merge partial sample sums across dp; segments across everything.
         r, g, b, depth = (jax.lax.psum(x, "dp") for x in (r, g, b, depth))
         segs = jax.lax.psum(jax.lax.psum(segs, "dp"), "sp")
@@ -237,11 +238,24 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
         out_specs=(P("sp"), P("sp"), P()),
         check_vma=False,
     )
+    # Phase-split variant: per-block primary shortlists ride in sharded over
+    # sp (each device receives exactly its tile range's rows).
+    sharded_split = jax.shard_map(
+        functools.partial(body), mesh=mesh,
+        in_specs=(P(), P(), P(), P("sp"), P("sp")),
+        out_specs=(P("sp"), P("sp"), P()),
+        check_vma=False,
+    )
 
     @jax.jit
-    def step(scene, cam, frame_seed, raster_color, raster_depth):
+    def step(scene, cam, frame_seed, raster_color, raster_depth,
+             sl=None, slmeta=None):
         pscene = prepare_pallas_scene(scene)
-        rt, rt_depth, segs = sharded(pscene, cam, frame_seed)
+        if sl is None:
+            rt, rt_depth, segs = sharded(pscene, cam, frame_seed)
+        else:
+            rt, rt_depth, segs = sharded_split(pscene, cam, frame_seed,
+                                               sl, slmeta)
         # Gathered outputs are block-ordered (padded to sp·blocks_local
         # blocks); un-shuffle to scanline order and crop, THEN composite —
         # raster inputs are scanline-ordered and may be per-pixel arrays, so
@@ -272,4 +286,23 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         raster_color = Vec3.splat(jnp.float32(1.0))
     if raster_depth is None:
         raster_depth = jnp.float32(0.0)
-    return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth)
+    # Host-built primary shortlists (phase-split bounce 0) for the padded
+    # block grid, sharded over sp by the step's shard_map.
+    sl = slmeta = None
+    sp, dp = mesh.shape["sp"], mesh.shape["dp"]
+    local_spp = config.samples_per_pixel // max(dp, 1)
+    from ..kernels.pallas.megakernel import (MAX_SPLIT_SPP, block_grid,
+                                             prepare_pallas_scene)
+    if (config.pallas_primary != "off" and config.level != 0
+            and 1 <= local_spp <= MAX_SPLIT_SPP):
+        from ..kernels.pallas.primary import build_block_shortlists
+        nbx, nby = block_grid(config)
+        n_blocks_padded = -(-(nbx * nby) // sp) * sp
+        pscene = jax.jit(prepare_pallas_scene)(scene)
+        sl_np, slmeta_np = build_block_shortlists(
+            np.asarray(pscene.sph), cam, config, block_lo=0,
+            n_blocks=n_blocks_padded)
+        sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
+        slmeta = jnp.asarray(slmeta_np)
+    return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,
+                sl=sl, slmeta=slmeta)

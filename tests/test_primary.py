@@ -1,0 +1,181 @@
+"""Phase-split bounce-0 shortlists (kernels/pallas/primary.py + megakernel
+phase-split mode).
+
+The contract under test: with identical exact-RNG draws, the phase-split
+kernel (coherent shortlist bounce 0 + stored-state persistent bounces) must
+reproduce the single persistent loop's image — any disagreement beyond
+cross-sample summation-order ulps means a shortlist culled a hittable sphere
+or the stored-state restart replayed the wrong sample.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bevyray_tpu import RenderConfig, rtiow
+from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+from bevyray_tpu.scene.components import (PerspectiveProjection,
+                                          RaytracedCamera, RaytracedSphere,
+                                          StandardMaterial, Transform)
+from bevyray_tpu.scene.world import World
+
+
+def _render_pair(world, cfg_kwargs, seed=7):
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=cfg_kwargs["width"] / cfg_kwargs["height"])
+    split = PallasRenderer(RenderConfig(**cfg_kwargs, pallas_primary="split"),
+                           exact_rng=True).render(scene, cam, seed=seed)
+    off = PallasRenderer(RenderConfig(**cfg_kwargs, pallas_primary="off"),
+                         exact_rng=True).render(scene, cam, seed=seed)
+    return split, off
+
+
+def test_split_matches_persistent_loop():
+    world = rtiow.final_scene(seed=3, grid=4)
+    cfg = dict(width=96, height=64, samples_per_pixel=4, bounces=4, level=3)
+    split, off = _render_pair(world, cfg)
+    assert float(split.rays_traced) == float(off.rays_traced)
+    np.testing.assert_allclose(np.asarray(split.image), np.asarray(off.image),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(split.rt_depth),
+                               np.asarray(off.rt_depth), rtol=1e-5, atol=1e-4)
+
+
+def test_split_matches_with_defocus_and_edge_blocks():
+    # 100×72 exercises partially off-image edge blocks; defocus exercises the
+    # aperture-inflated frustum margins.
+    world = rtiow.final_scene(seed=11, grid=3)
+    cfg = dict(width=100, height=72, samples_per_pixel=3, bounces=3, level=3,
+               defocus=True)
+    split, off = _render_pair(world, cfg)
+    assert float(split.rays_traced) == float(off.rays_traced)
+    np.testing.assert_allclose(np.asarray(split.image), np.asarray(off.image),
+                               atol=1e-5)
+
+
+def test_primary_hits_identical_random_scenes():
+    # bounces=0, spp=1: the frame reduces to the primary hit alone, so the
+    # depth map must be BIT-identical between the shortlist walk and the full
+    # walk — any mismatch is a conservativeness bug in the frustum culling.
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        world = World()
+        for _ in range(40):
+            p = rng.uniform(-6, 6, 3)
+            world.spawn_sphere(
+                Transform.from_xyz(float(p[0]), float(p[1]), float(p[2])),
+                RaytracedSphere(radius=float(rng.uniform(0.1, 2.5))),
+                StandardMaterial(base_color=tuple(rng.uniform(0, 1, 3))))
+        eye = rng.uniform(-2, 2, 3) + (0, 0, 9)
+        world.set_camera(
+            Transform.from_xyz(*(float(v) for v in eye)).looking_at(
+                tuple(float(v) for v in rng.uniform(-1, 1, 3))),
+            PerspectiveProjection(), RaytracedCamera())
+        cfg = dict(width=96, height=64, samples_per_pixel=1, bounces=0,
+                   level=3)
+        split, off = _render_pair(world, cfg, seed=trial)
+        np.testing.assert_array_equal(np.asarray(split.rt_depth),
+                                      np.asarray(off.rt_depth))
+
+
+def test_overflow_blocks_fall_back_to_full_walk(monkeypatch):
+    # Shrink the capacity cap so every block overflows; the kernel must take
+    # the per-block full-walk branch and still match.
+    from bevyray_tpu.kernels.pallas import primary
+    monkeypatch.setattr(primary, "SL_MAX", 8)
+    world = rtiow.final_scene(seed=3, grid=4)
+    cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=2, level=3)
+    split, off = _render_pair(world, cfg)
+    assert float(split.rays_traced) == float(off.rays_traced)
+    np.testing.assert_allclose(np.asarray(split.image), np.asarray(off.image),
+                               atol=1e-5)
+
+
+def test_split_gate_raises_on_unsupported_spp():
+    from bevyray_tpu.kernels.pallas.megakernel import MAX_SPLIT_SPP
+    world = rtiow.final_scene(seed=3, grid=2)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=64, height=64,
+                       samples_per_pixel=MAX_SPLIT_SPP + 1, bounces=1,
+                       level=3, pallas_primary="split")
+    with pytest.raises(ValueError, match="samples_per_pixel"):
+        PallasRenderer(cfg, exact_rng=True).render(scene, cam, seed=0)
+
+
+def test_auto_disables_above_cap():
+    from bevyray_tpu.kernels.pallas.megakernel import MAX_SPLIT_SPP
+    world = rtiow.final_scene(seed=3, grid=2)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    r = PallasRenderer(RenderConfig(width=64, height=64,
+                                    samples_per_pixel=MAX_SPLIT_SPP + 1,
+                                    bounces=1, level=3), exact_rng=True)
+    pscene = r.prepare(scene)
+    assert r.shortlists(pscene, cam) == (None, None)
+    r.render(scene, cam, seed=0)  # runs through the plain persistent loop
+
+
+def test_fast_disc_is_bit_identical():
+    # pallas_fast_disc drops the explicit disc ≥ 0 test (NaN compares false);
+    # the accept set — and therefore the image — must be BIT-identical.
+    world = rtiow.final_scene(seed=3, grid=4)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=96 / 64)
+    cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=3, level=3)
+    for primary in ("split", "off"):
+        imgs = []
+        for fd in (False, True):
+            r = PallasRenderer(RenderConfig(**cfg, pallas_primary=primary,
+                                            pallas_fast_disc=fd),
+                               exact_rng=True)
+            imgs.append(np.asarray(r.render(scene, cam, seed=5).image))
+        np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_shortlist_builder_is_conservative_pointwise():
+    # Direct property: every sphere a block's corner/center pinhole rays can
+    # hit sits in that block's shortlist (sampled rays, generous count).
+    from bevyray_tpu.kernels.pallas.megakernel import (BLOCK_H, BLOCK_W,
+                                                       block_grid,
+                                                       prepare_pallas_scene)
+    from bevyray_tpu.kernels.pallas.primary import build_block_shortlists
+
+    world = rtiow.final_scene(seed=5, grid=5)
+    scene = world.extract(with_bvh=False)
+    config = RenderConfig(width=192, height=128, samples_per_pixel=1,
+                          bounces=0, level=3)
+    cam = world.camera_state(aspect=192 / 128)
+    pscene = jax.jit(prepare_pallas_scene)(scene)
+    sph = np.asarray(pscene.sph)
+    sl, meta = build_block_shortlists(sph, cam, config)
+    nbx, nby = block_grid(config)
+
+    pos = np.array([float(cam.position.x), float(cam.position.y),
+                    float(cam.position.z)])
+    fwd = np.array([float(cam.direction.x), float(cam.direction.y),
+                    float(cam.direction.z)])
+    up = np.array([float(cam.up.x), float(cam.up.y), float(cam.up.z)])
+    right = np.cross(fwd, up)
+    scale = np.tan(float(cam.fov) * 0.5)
+    aspect = float(cam.aspect)
+    cx, cy, cz, r2 = sph
+    rng = np.random.default_rng(0)
+    for b in rng.choice(nbx * nby, size=min(12, nbx * nby), replace=False):
+        bx, by = b % nbx, b // nbx
+        idxs = set(sl[b, 4][sl[b, 3] > -1e29].astype(int))
+        for _ in range(64):
+            px = bx * BLOCK_W + rng.uniform(0, BLOCK_W)
+            py = by * BLOCK_H + rng.uniform(0, BLOCK_H)
+            u, v = px / 192, py / 128
+            d = (fwd + right * ((u * 2 - 1) * aspect * scale)
+                 + up * ((1 - v * 2) * scale))
+            d /= np.linalg.norm(d)
+            oc = np.stack([cx, cy, cz], 1) - pos
+            h = oc @ d
+            disc = h * h - (np.einsum("ij,ij->i", oc, oc) - r2)
+            hit = (disc >= 0) & (h + np.sqrt(np.maximum(disc, 0)) > 1e-3)
+            for s_i in np.nonzero(hit)[0]:
+                if not np.all(sph[:, s_i] == sph[:, 0]) or s_i == 0:
+                    assert s_i in idxs, (b, s_i)

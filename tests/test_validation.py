@@ -1,0 +1,29 @@
+"""Input validation: bad configuration fails at CONSTRUCTION with an
+actionable message, not as an opaque shape error inside jit (VERDICT r01
+"failure detection" gap)."""
+
+import pytest
+
+from bevyray_tpu import RenderConfig
+
+
+@pytest.mark.parametrize("kwargs,match", [
+    (dict(width=0, height=64), "frame size"),
+    (dict(width=64, height=-1), "frame size"),
+    (dict(width=64, height=64, samples_per_pixel=0), "samples_per_pixel"),
+    (dict(width=64, height=64, bounces=-1), "bounces"),
+    (dict(width=64, height=64, level=4), "level"),
+    (dict(width=64, height=64, sphere_chunk=0), "sphere_chunk"),
+    (dict(width=64, height=64, intersect_backend="gpu"), "intersect_backend"),
+    (dict(width=64, height=64, diffuse_sampling="uniform"),
+     "diffuse_sampling"),
+    (dict(width=64, height=64, pallas_intersect="bvh"), "pallas_intersect"),
+    (dict(width=64, height=64, pallas_primary="on"), "pallas_primary"),
+])
+def test_bad_config_raises(kwargs, match):
+    with pytest.raises(ValueError, match=match):
+        RenderConfig(**kwargs)
+
+
+def test_good_config_constructs():
+    RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=0, level=0)
