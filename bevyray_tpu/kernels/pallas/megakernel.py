@@ -79,6 +79,10 @@ N_ST = 15
 (ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ, ST_RCX, ST_RCY, ST_RCZ,
  ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
 MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under VMEM
+SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
+                       # (measured: walk-all was 2.5% SLOWER than the chunked
+                       # early-out even at k_cap=24 — the per-chunk consensus
+                       # reduce earns its keep; kept as a testable path)
 _DEBUG_STATIC_FETCH = False   # timing probe only (wrong images): see fetch()
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
@@ -439,22 +443,29 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
         best_i = jnp.where(better, gi, best_i)
         return best_q, best_i
 
-    def cond(carry):
-        c, best_q, _ = carry
-        t_lo = meta_ref[row, 1 + jnp.minimum(c, n_chunks - 1)]
-        useful = a * t_lo < best_q
-        return (c < n_chunks) & (jnp.max(jnp.where(useful, 1.0, 0.0)) > 0.0)
+    init_q = jnp.where(in_image, INF, 0.0).astype(jnp.float32)
+    init_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
+    if k_cap <= SL_WALK_ALL_MAX:
+        # Tiny shortlist: the chunked early-out's per-chunk cross-lane reduce +
+        # branch costs about what it saves — walk everything unconditionally.
+        best_q, best_i = init_q, init_i
+        for s in range(k_cap):
+            best_q, best_i = one_sphere(s, best_q, best_i)
+    else:
+        def cond(carry):
+            c, best_q, _ = carry
+            t_lo = meta_ref[row, 1 + jnp.minimum(c, n_chunks - 1)]
+            useful = a * t_lo < best_q
+            return (c < n_chunks) & (jnp.max(jnp.where(useful, 1.0, 0.0)) > 0.0)
 
-    def body(carry):
-        c, best_q, best_i = carry
-        for j in range(SL_CHUNK):
-            best_q, best_i = one_sphere(c * SL_CHUNK + j, best_q, best_i)
-        return c + 1, best_q, best_i
+        def body(carry):
+            c, best_q, best_i = carry
+            for j in range(SL_CHUNK):
+                best_q, best_i = one_sphere(c * SL_CHUNK + j, best_q, best_i)
+            return c + 1, best_q, best_i
 
-    init = (jnp.int32(0),
-            jnp.where(in_image, INF, 0.0).astype(jnp.float32),
-            jnp.full((TILE_SUB, 128), -1, jnp.int32))
-    _, best_q, best_i = jax.lax.while_loop(cond, body, init)
+        _, best_q, best_i = jax.lax.while_loop(cond, body,
+                                               (jnp.int32(0), init_q, init_i))
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i
 

@@ -84,6 +84,42 @@ def kern_scalar(seed_ref, sph_ref, out_ref, *, stride):
         0, REPS, rep, jnp.full((32, 128), 1e30, jnp.float32))
 
 
+def kern_fma(seed_ref, sph_ref, out_ref, *, sqrt_free=False):
+    # Expanded-form test: h = d·c - d·o and |oc|² = |o|² - 2o·c + |c|², with
+    # -2c and k = |c|² - r² precomputed host-side (rows 4-6 and 7 unused here;
+    # table layout (7, S): cx cy cz m2x m2y m2z k). ~16 ops if Mosaic forms
+    # the fma chains. sqrt_free swaps sqrt for a mul (diagnostic: sqrt's cost).
+    o, d = ray_tile(seed_ref, 32)
+    ox, oy, oz = o
+    dx, dy, dz = d
+    a = dx * dx + dy * dy + dz * dz
+    q_min = a * 1e-3
+    ndo = -(dx * ox + dy * oy + dz * oz)
+    oo = ox * ox + oy * oy + oz * oz
+
+    def rep(i, best_q):
+        def grp(g, bq):
+            for j in range(GROUP):
+                s = g * GROUP + j
+                h = dx * sph_ref[0, s] + (dy * sph_ref[1, s]
+                                          + (dz * sph_ref[2, s] + ndo))
+                ook = oo + sph_ref[6, s]
+                cc = ox * sph_ref[3, s] + (oy * sph_ref[4, s]
+                                           + (oz * sph_ref[5, s] + ook))
+                disc = h * h - a * cc
+                if sqrt_free:
+                    q = h - disc * 0.25
+                else:
+                    q = h - jnp.sqrt(disc)
+                better = (q > q_min) & (q < bq)
+                bq = jnp.where(better, q, bq)
+            return bq
+        return jax.lax.fori_loop(0, S // GROUP, grp, best_q)
+
+    out_ref[0] = jax.lax.fori_loop(
+        0, REPS, rep, jnp.full((32, 128), 1e30, jnp.float32))
+
+
 def kern_const(seed_ref, sph_ref, out_ref):
     o, d = ray_tile(seed_ref, 32)
     dx, dy, dz = d
@@ -175,6 +211,13 @@ def main():
     run("const", kern_const, sph, pltpu.SMEM)
     quads = np.repeat(sph.T.reshape(S // 4, 4, 4), 8, axis=1)  # (S/4, 32, 4)
     run("vecquad", kern_vecquad, quads.reshape(S // 4 * 32, 4), pltpu.VMEM)
+    k = sph[0] ** 2 + sph[1] ** 2 + sph[2] ** 2 - sph[3]
+    sph7 = np.concatenate([sph[:3], -2.0 * sph[:3], k[None]], axis=0)
+    sph7 = sph7.astype(np.float32)
+    run("fma16", functools.partial(kern_fma, sqrt_free=False), sph7,
+        pltpu.SMEM)
+    run("sqrtfree", functools.partial(kern_fma, sqrt_free=True), sph7,
+        pltpu.SMEM)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,19 @@ def test_primary_hits_identical_random_scenes():
                                       np.asarray(off.rt_depth))
 
 
+def test_chunked_early_out_walk_matches(monkeypatch):
+    # Force the chunked early-out path (normally taken only for shortlists
+    # larger than SL_WALK_ALL_MAX) and pin it against the plain loop.
+    from bevyray_tpu.kernels.pallas import megakernel
+    monkeypatch.setattr(megakernel, "SL_WALK_ALL_MAX", 0)
+    world = rtiow.final_scene(seed=3, grid=4)
+    cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=3, level=3)
+    split, off = _render_pair(world, cfg)
+    assert float(split.rays_traced) == float(off.rays_traced)
+    np.testing.assert_allclose(np.asarray(split.image), np.asarray(off.image),
+                               atol=1e-5)
+
+
 def test_overflow_blocks_fall_back_to_full_walk(monkeypatch):
     # Shrink the capacity cap so every block overflows; the kernel must take
     # the per-block full-walk branch and still match.
