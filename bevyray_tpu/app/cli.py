@@ -45,7 +45,9 @@ def _config(args):
                         samples_per_pixel=args.spp, bounces=args.bounces,
                         level=args.level, intersect_backend=backend,
                         defocus=args.aperture > 0.0,
-                        diffuse_sampling=args.diffuse_sampling)
+                        diffuse_sampling=args.diffuse_sampling,
+                        pallas_intersect=args.pallas_intersect,
+                        pallas_primary=args.pallas_primary)
 
 
 def _raster_buffers(world, cam, config):
@@ -172,6 +174,14 @@ def main(argv=None):
                        help="thin-lens diameter; >0 enables defocus blur")
         s.add_argument("--focus", type=float, default=3.0,
                        help="focus distance for defocus blur")
+        s.add_argument("--pallas-intersect", default="auto",
+                       choices=["auto", "grouped", "candidates"],
+                       help="megakernel sphere walk (auto: grouped <=1024 "
+                            "spheres, candidates above)")
+        s.add_argument("--pallas-primary", default="auto",
+                       choices=["auto", "split", "off"],
+                       help="megakernel bounce-0 strategy (auto: coherent "
+                            "shortlist phase when spp <= 32)")
         s.add_argument("--diffuse-sampling", default="reference",
                        choices=["reference", "cosine"])
         s.add_argument("--out", default="frame.png")

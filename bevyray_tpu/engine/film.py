@@ -208,10 +208,15 @@ class ProgressiveRenderer:
                 if cache is not None and cache[0] == (sid, key):
                     sl, slmeta = cache[1]
                 else:
-                    from ..kernels.pallas.primary import build_block_shortlists
-                    sl, slmeta = build_block_shortlists(
-                        np.asarray(pscene.sph), cam, self.config)
-                    sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
+                    from ..kernels.pallas.primary import (
+                        build_block_shortlists, split_worthwhile)
+                    sph = np.asarray(pscene.sph)
+                    sl, slmeta = build_block_shortlists(sph, cam, self.config)
+                    if (self.config.pallas_primary == "auto"
+                            and not split_worthwhile(sl, slmeta, sph)):
+                        sl = slmeta = None
+                    else:
+                        sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
                     self._sl_cache = ((sid, key), (sl, slmeta))
             self.film = self._accumulate(
                 film=self.film, pscene=pscene, cam=cam,

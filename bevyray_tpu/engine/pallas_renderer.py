@@ -112,10 +112,15 @@ class PallasRenderer:
         key = (self._pscene_cache[0], cam_key)
         if self._sl_cache is not None and self._sl_cache[0] == key:
             return self._sl_cache[1]
-        from ..kernels.pallas.primary import build_block_shortlists
-        sl, slmeta = build_block_shortlists(np.asarray(pscene.sph), cam,
-                                            self.config)
-        out = (jnp.asarray(sl), jnp.asarray(slmeta))
+        from ..kernels.pallas.primary import (build_block_shortlists,
+                                              split_worthwhile)
+        sph = np.asarray(pscene.sph)
+        sl, slmeta = build_block_shortlists(sph, cam, self.config)
+        if (self.config.pallas_primary == "auto"
+                and not split_worthwhile(sl, slmeta, sph)):
+            out = (None, None)
+        else:
+            out = (jnp.asarray(sl), jnp.asarray(slmeta))
         self._sl_cache = (key, out)
         return out
 

@@ -41,6 +41,36 @@ def shortlist_capacity(counts: np.ndarray) -> int:
     return max(SL_CHUNK, min(SL_MAX, -(-need // SL_CHUNK) * SL_CHUNK))
 
 
+def live_sphere_count(sph: np.ndarray) -> int:
+    """Real spheres in the kernel table: r² > 0, trailing sphere-0 padding
+    duplicates excluded (prepare_pallas_scene's conventions)."""
+    sph = np.asarray(sph)
+    live = sph[3] > 0.0
+    j = sph.shape[1]
+    while j > 1 and np.all(sph[:, j - 1] == sph[:, 0]):
+        j -= 1
+    live[j:] = False
+    return int(live.sum())
+
+
+def split_worthwhile(sl: np.ndarray, meta: np.ndarray, sph: np.ndarray) -> bool:
+    """Should "auto" mode use the phase split for these shortlists?
+
+    The split pays fixed costs (state parking, redirect compaction, restart
+    fetches); it earns them back by shrinking bounce-0 work. When shortlists
+    barely cull — tiny scenes where every block sees most spheres (measured: a
+    4-sphere scene ran 5% SLOWER split) — or most blocks overflowed, stay on
+    the plain persistent loop. ``pallas_primary="split"`` bypasses this gate.
+    """
+    overflow = meta[:, 0] > 0.0
+    kept = ~overflow
+    if overflow.mean() > 0.5 or not kept.any():
+        return False
+    counts = (sl[:, 3, :] > np.float32(-1e29)).sum(axis=1)
+    mean_count = float(counts[kept].mean())
+    return mean_count * 2.0 <= live_sphere_count(sph)
+
+
 def build_block_shortlists(sph: np.ndarray, cam, config,
                            block_lo: int = 0, n_blocks: int | None = None):
     """Per-block primary shortlists.

@@ -295,14 +295,17 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
                                              prepare_pallas_scene)
     if (config.pallas_primary != "off" and config.level != 0
             and 1 <= local_spp <= MAX_SPLIT_SPP):
-        from ..kernels.pallas.primary import build_block_shortlists
+        from ..kernels.pallas.primary import (build_block_shortlists,
+                                              split_worthwhile)
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
         pscene = jax.jit(prepare_pallas_scene)(scene)
+        sph = np.asarray(pscene.sph)
         sl_np, slmeta_np = build_block_shortlists(
-            np.asarray(pscene.sph), cam, config, block_lo=0,
-            n_blocks=n_blocks_padded)
-        sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
-        slmeta = jnp.asarray(slmeta_np)
+            sph, cam, config, block_lo=0, n_blocks=n_blocks_padded)
+        if (config.pallas_primary == "split"
+                or split_worthwhile(sl_np, slmeta_np, sph)):
+            sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
+            slmeta = jnp.asarray(slmeta_np)
     return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,
                 sl=sl, slmeta=slmeta)

@@ -186,3 +186,66 @@ def test_hollow_glass_matches_oracle():
         frame = Renderer(cfg).render(w.extract(with_bvh=with_bvh), cam, seed=4)
         _assert_images_match(np.asarray(frame.image), want, mean_tol=4e-3,
                              max_outlier_frac=0.02)
+
+
+def test_kitchen_sink_hybrid_all_features_vs_oracle():
+    """Everything at once — hybrid level 2 with the analytic raster cube,
+    a traced triangle mesh, an emissive sphere, hollow glass, thin-lens
+    defocus, and cosine diffuse sampling — XLA vs the vectorized oracle, and
+    the megakernel (phase-split) vs XLA. Pins the feature INTERACTIONS no
+    single-feature golden covers."""
+    from bevyray_tpu import (RaytracedCamera, RaytracedSphere, Raytracing,
+                             StandardMaterial, Transform, cube_mesh)
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.engine.raster import raster_layer
+    from bevyray_tpu.scene.world import World
+    from bevyray_tpu.testing.oracle import render_oracle_fast
+
+    w = World()
+    w.set_camera(Transform.from_xyz(0, 1.0, 5).looking_at((0, 0.5, 0)),
+                 camera=RaytracedCamera(level=Raytracing.FALLBACK_RAYTRACED,
+                                        aperture=0.2, focus_distance=5.0))
+    w.spawn_sphere(Transform.from_xyz(0, -1000, 0), RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    glass = StandardMaterial(base_color=(1.0, 1.0, 1.0), ior=1.5,
+                             specular_transmission=1.0)
+    w.spawn_sphere(Transform.from_xyz(-1.4, 0.5, 0.3), RaytracedSphere(0.5),
+                   glass)
+    w.spawn_sphere(Transform.from_xyz(-1.4, 0.5, 0.3), RaytracedSphere(-0.4),
+                   glass)
+    w.spawn_sphere(Transform.from_xyz(1.6, 0.7, -1.0), RaytracedSphere(0.7),
+                   StandardMaterial(base_color=(0.0, 0.0, 0.0),
+                                    emissive=(3.0, 1.5, 0.7)))
+    w.spawn_mesh(Transform.from_xyz(0.8, 0.4, 0.8), cube_mesh(0.8),
+                 StandardMaterial(base_color=(0.2, 0.5, 0.9), metallic=1.0,
+                                  perceptual_roughness=0.05))
+    w.spawn_raster_mesh(Transform.from_xyz(0.0, 0.5, -0.4), cube_mesh(1.0),
+                        StandardMaterial(base_color=(0.8, 0.7, 0.6)))
+
+    W_, H_ = 48, 48
+    cfg = RenderConfig(width=W_, height=H_, samples_per_pixel=3, bounces=4,
+                       level=2, defocus=True, diffuse_sampling="cosine")
+    cam = w.camera_state(aspect=1.0)
+    rc, rd = raster_layer(w, cam, cfg)
+    scene = w.extract(with_bvh=False)
+
+    got_xla = np.asarray(Renderer(cfg).render(
+        scene, cam, seed=21, raster_color=rc, raster_depth=rd).image)
+    got_pls = np.asarray(PallasRenderer(cfg, exact_rng=True).render(
+        scene, cam, seed=21, raster_color=rc, raster_depth=rd).image)
+
+    centers, radii, mats, camera = oracle_inputs_from_world(w)
+    camera["aspect"] = 1.0
+    va, vb, vc, tri_mids, tri_mats = w.extract_meshes_host(
+        first_material_id=len(radii))
+    mats_full = np.concatenate([mats, tri_mats], axis=0)
+    raster_color = np.stack([np.asarray(v).reshape(H_, W_) for v in
+                             (rc.x, rc.y, rc.z)], axis=-1)
+    raster_depth = np.asarray(rd).reshape(H_, W_)
+    want, _ = render_oracle_fast(
+        centers, radii, mats_full, camera, W_, H_, 3, 4, 2, 21,
+        raster_color=raster_color, raster_depth=raster_depth, defocus=True,
+        diffuse_sampling="cosine", triangles=(va, vb, vc, tri_mids))
+
+    _assert_images_match(got_xla, want, mean_tol=4e-3, max_outlier_frac=0.02)
+    np.testing.assert_allclose(got_pls, got_xla, atol=5e-5)
