@@ -213,7 +213,8 @@ class ProgressiveRenderer:
                     sph = np.asarray(pscene.sph)
                     sl, slmeta = build_block_shortlists(sph, cam, self.config)
                     if (self.config.pallas_primary == "auto"
-                            and not split_worthwhile(sl, slmeta, sph)):
+                            and not split_worthwhile(sl, slmeta, sph,
+                                                self.config.samples_per_pixel)):
                         sl = slmeta = None
                     else:
                         sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)

@@ -117,7 +117,8 @@ class PallasRenderer:
         sph = np.asarray(pscene.sph)
         sl, slmeta = build_block_shortlists(sph, cam, self.config)
         if (self.config.pallas_primary == "auto"
-                and not split_worthwhile(sl, slmeta, sph)):
+                and not split_worthwhile(sl, slmeta, sph,
+                                             self.config.samples_per_pixel)):
             out = (None, None)
         else:
             out = (jnp.asarray(sl), jnp.asarray(slmeta))

@@ -53,19 +53,25 @@ def live_sphere_count(sph: np.ndarray) -> int:
     return int(live.sum())
 
 
-def split_worthwhile(sl: np.ndarray, meta: np.ndarray, sph: np.ndarray) -> bool:
+def split_worthwhile(sl: np.ndarray, meta: np.ndarray, sph: np.ndarray,
+                     spp: int) -> bool:
     """Should "auto" mode use the phase split for these shortlists?
 
-    The split pays fixed costs (state parking, redirect compaction, restart
-    fetches); it earns them back by shrinking bounce-0 work. When shortlists
-    barely cull — tiny scenes where every block sees most spheres (measured: a
-    4-sphere scene ran 5% SLOWER split) — or most blocks overflowed, stay on
-    the plain persistent loop. ``pallas_primary="split"`` bypasses this gate.
+    The split pays fixed costs dominated by the phase-B restart fetch, whose
+    per-iteration price scales with spp (one-hot over spp-1 state slots); it
+    earns them back by shrinking bounce-0 work and running bounce 0 at full
+    occupancy. Measured decision surface (v5e): a 4-sphere scene at 16 spp ran
+    5% SLOWER split (fetch ≫ trivial walk) but 21% FASTER at 4 spp / 8 bounces
+    (cheap fetch, occupancy win). So: split when the shortlists genuinely cull
+    (mean ≤ half the live spheres) OR the fetch is cheap (spp ≤ 4); never when
+    most blocks overflowed. ``pallas_primary="split"`` bypasses this gate.
     """
     overflow = meta[:, 0] > 0.0
     kept = ~overflow
     if overflow.mean() > 0.5 or not kept.any():
         return False
+    if spp <= 4:
+        return True
     counts = (sl[:, 3, :] > np.float32(-1e29)).sum(axis=1)
     mean_count = float(counts[kept].mean())
     return mean_count * 2.0 <= live_sphere_count(sph)

@@ -304,7 +304,7 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         sl_np, slmeta_np = build_block_shortlists(
             sph, cam, config, block_lo=0, n_blocks=n_blocks_padded)
         if (config.pallas_primary == "split"
-                or split_worthwhile(sl_np, slmeta_np, sph)):
+                or split_worthwhile(sl_np, slmeta_np, sph, local_spp)):
             sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
             slmeta = jnp.asarray(slmeta_np)
     return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,

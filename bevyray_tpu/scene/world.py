@@ -46,6 +46,13 @@ class World:
     # -- mutation ---------------------------------------------------------------
     def spawn_sphere(self, transform: Transform, sphere: RaytracedSphere,
                      material: StandardMaterial) -> int:
+        if not (np.isfinite(sphere.radius)
+                and all(np.isfinite(v) for v in transform.translation)):
+            raise ValueError(
+                f"sphere center {transform.translation} / radius "
+                f"{sphere.radius} must be finite (negative radii are legal — "
+                "the hollow-glass trick — NaN/inf silently poisons the whole "
+                "frame)")
         eid = len(self._spheres)
         self._transforms.append(transform)
         self._spheres.append(sphere)
@@ -232,6 +239,12 @@ class World:
         """Per-frame camera uniforms (extract.rs:118-157)."""
         t = self.camera_transform
         p = self.projection
+        fwd = np.asarray(t.forward, np.float64)
+        if not (np.all(np.isfinite(fwd)) and np.linalg.norm(fwd) > 1e-12):
+            raise ValueError(
+                "camera direction is degenerate (zero or non-finite) — "
+                "looking_at() a point equal to the camera position, or along "
+                "the up axis, produces no usable basis")
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return CameraState(
             position=Vec3(*(f32(v) for v in t.translation)),

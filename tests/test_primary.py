@@ -147,21 +147,28 @@ def test_fast_disc_is_bit_identical():
         np.testing.assert_array_equal(imgs[0], imgs[1])
 
 
-def test_auto_gate_skips_tiny_scenes():
-    # A 4-sphere scene culls nothing — "auto" must stay on the plain
-    # persistent loop (measured 5% regression otherwise); "split" forces it.
+def test_auto_gate_matches_measured_decision_surface():
+    # A 4-sphere scene culls nothing: at 16 spp the restart fetch dominates
+    # and "auto" must stay on the plain persistent loop (measured 5% slower
+    # split); at spp <= 4 the fetch is cheap and split won (21% on ch9), so
+    # "auto" keeps it. "split" always forces it; big scenes always qualify.
     world = rtiow.material_test_scene()
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=1.0)
-    cfg = dict(width=64, height=64, samples_per_pixel=2, bounces=2, level=3)
-    r_auto = PallasRenderer(RenderConfig(**cfg), exact_rng=True)
+    tiny16 = dict(width=64, height=64, samples_per_pixel=16, bounces=2,
+                  level=3)
+    r_auto = PallasRenderer(RenderConfig(**tiny16), exact_rng=True)
     assert r_auto.shortlists(r_auto.prepare(scene), cam) == (None, None)
-    r_force = PallasRenderer(RenderConfig(**cfg, pallas_primary="split"),
+    tiny4 = dict(tiny16, samples_per_pixel=4)
+    r_lowspp = PallasRenderer(RenderConfig(**tiny4), exact_rng=True)
+    sl, _ = r_lowspp.shortlists(r_lowspp.prepare(scene), cam)
+    assert sl is not None
+    r_force = PallasRenderer(RenderConfig(**tiny16, pallas_primary="split"),
                              exact_rng=True)
-    sl, slmeta = r_force.shortlists(r_force.prepare(scene), cam)
+    sl, _ = r_force.shortlists(r_force.prepare(scene), cam)
     assert sl is not None
     big = rtiow.final_scene(seed=3)
-    r_big = PallasRenderer(RenderConfig(**cfg), exact_rng=True)
+    r_big = PallasRenderer(RenderConfig(**tiny16), exact_rng=True)
     sl, _ = r_big.shortlists(r_big.prepare(big.extract(with_bvh=False)),
                              big.camera_state(aspect=1.0))
     assert sl is not None

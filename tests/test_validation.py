@@ -27,3 +27,31 @@ def test_bad_config_raises(kwargs, match):
 
 def test_good_config_constructs():
     RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=0, level=0)
+
+
+def test_bad_sphere_raises():
+    from bevyray_tpu.scene.components import (RaytracedSphere,
+                                              StandardMaterial, Transform)
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    with pytest.raises(ValueError, match="finite"):
+        w.spawn_sphere(Transform.from_xyz(0.0, float("nan"), 0.0),
+                       RaytracedSphere(1.0), StandardMaterial())
+    with pytest.raises(ValueError, match="finite"):
+        w.spawn_sphere(Transform.from_xyz(0.0, 0.0, 0.0),
+                       RaytracedSphere(float("inf")), StandardMaterial())
+    # negative radius (hollow glass) stays legal
+    w.spawn_sphere(Transform.from_xyz(0.0, 0.0, 0.0), RaytracedSphere(-0.5),
+                   StandardMaterial())
+
+
+def test_degenerate_camera_raises():
+    from bevyray_tpu.scene.components import Transform
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    w.camera_transform = Transform.from_xyz(1.0, 2.0, 3.0).looking_at(
+        (1.0, 2.0, 3.0))
+    with pytest.raises(ValueError, match="degenerate"):
+        w.camera_state(aspect=1.0)
