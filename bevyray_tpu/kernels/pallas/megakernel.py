@@ -257,17 +257,22 @@ class HwRngProvider:
 GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)
 
 
-def _use_candidate_walk(config: RenderConfig, n_spheres_padded: int) -> bool:
+def _use_candidate_walk(config: RenderConfig, n_spheres_padded: int,
+                        phase_split: bool = False) -> bool:
     """Static dispatch between the two megakernel sphere walks. The candidate
     walk adapts its group size so its i32 bitmask fits any scene; ``auto``
-    keeps the tile-unanimous grouped walk where it is the measured winner
-    (reference-scale scenes — the walks are at parity at ~500 spheres) and
-    switches to the candidate walk for large scenes, where per-lane culling
-    beats brute force even on bounce-incoherent lanes."""
+    keeps the tile-unanimous grouped walk where it is the measured winner and
+    switches to the candidate walk where per-lane culling beats brute force.
+
+    Measured crossover (v5e): WITHOUT the phase split the walks are at parity
+    at ~500 spheres (bounce-0 segments are coherent enough that brute + tile
+    culling keeps up), so auto switches above 1024. WITH the split, phase B is
+    pure bounce-soup and per-lane masks win already at 512 padded spheres
+    (+14% at the headline scene; parity at 128), so the threshold drops."""
     if config.pallas_intersect == "candidates":
         return True
     if config.pallas_intersect == "auto":
-        return n_spheres_padded > 1024
+        return n_spheres_padded >= (512 if phase_split else 1025)
     return False
 
 
@@ -770,7 +775,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     frame_seed = seed_ref[0, 0]
 
     attr_table = attr_ref[:]
-    use_candidates = _use_candidate_walk(config, n_spheres_padded)
+    use_candidates = _use_candidate_walk(config, n_spheres_padded,
+                                         phase_split=st_ref is not None)
     grp_table = grp_ref[:] if use_candidates else None
 
     spp = config.samples_per_pixel
