@@ -87,7 +87,12 @@ def cmd_render(args):
                             raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
     dt = time.perf_counter() - t0
-    write_png(args.out, np.asarray(frame.image))
+    image = frame.image
+    if args.denoise > 0:
+        from ..engine.denoise import jitted_denoise
+        image = jitted_denoise(args.denoise, args.denoise_sigma_color,
+                               args.denoise_sigma_depth)(image, frame.rt_depth)
+    write_png(args.out, np.asarray(image))
     rays = float(frame.rays_traced)
     print(f"rendered {args.width}x{args.height} spp={args.spp} in {dt:.3f}s "
           f"(compile included), {rays / dt / 1e6:.1f} Mrays/s -> {args.out}")
@@ -112,7 +117,12 @@ def cmd_accumulate(args):
         frame = prog.step(scene, cam, seed=args.seed + i,
                           raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
-    write_png(args.out, np.asarray(frame.image))
+    image = frame.image
+    if args.denoise > 0:
+        from ..engine.denoise import jitted_denoise
+        image = jitted_denoise(args.denoise, args.denoise_sigma_color,
+                               args.denoise_sigma_depth)(image, frame.rt_depth)
+    write_png(args.out, np.asarray(image))
     print(f"accumulated {prog.samples_accumulated} spp -> {args.out}")
     return 0
 
@@ -184,6 +194,11 @@ def main(argv=None):
                             "shortlist phase when spp <= 32)")
         s.add_argument("--diffuse-sampling", default="reference",
                        choices=["reference", "cosine"])
+        s.add_argument("--denoise", type=int, default=0, metavar="N",
+                       help="edge-aware a-trous denoise iterations "
+                            "(0 = off, extension)")
+        s.add_argument("--denoise-sigma-color", type=float, default=0.25)
+        s.add_argument("--denoise-sigma-depth", type=float, default=0.5)
         s.add_argument("--out", default="frame.png")
         s.add_argument("--frames", type=int, default=8)
         s.add_argument("--passes", type=int, default=8)

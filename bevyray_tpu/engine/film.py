@@ -198,27 +198,19 @@ class ProgressiveRenderer:
             pscene = self._prepare_cache[2]
             # Host-built primary shortlists for phase-split bounce 0 (cached;
             # the film already resets on camera change, so keying on the scene
-            # id + cam key suffices).
-            from ..kernels.pallas.megakernel import MAX_SPLIT_SPP
-            sl = slmeta = None
-            if (self.config.pallas_primary != "off"
-                    and self.config.samples_per_pixel <= MAX_SPLIT_SPP
-                    and self.config.level != 0):
-                cache = getattr(self, "_sl_cache", None)
-                if cache is not None and cache[0] == (sid, key):
-                    sl, slmeta = cache[1]
-                else:
-                    from ..kernels.pallas.primary import (
-                        build_block_shortlists, split_worthwhile)
-                    sph = np.asarray(pscene.sph)
-                    sl, slmeta = build_block_shortlists(sph, cam, self.config)
-                    if (self.config.pallas_primary == "auto"
-                            and not split_worthwhile(sl, slmeta, sph,
-                                                self.config.samples_per_pixel)):
-                        sl = slmeta = None
-                    else:
-                        sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-                    self._sl_cache = ((sid, key), (sl, slmeta))
+            # id + cam key suffices). shortlists_for owns the gate — including
+            # raising when a forced "split" is unsupported.
+            cache = getattr(self, "_sl_cache", None)
+            if cache is not None and cache[0] == (sid, key):
+                sl, slmeta = cache[1]
+            else:
+                from ..kernels.pallas.primary import shortlists_for
+                sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam,
+                                            self.config,
+                                            self.config.samples_per_pixel)
+                if sl is not None:
+                    sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
+                self._sl_cache = ((sid, key), (sl, slmeta))
             self.film = self._accumulate(
                 film=self.film, pscene=pscene, cam=cam,
                 frame_seed=jnp.uint32(seed & 0xFFFFFFFF),

@@ -90,19 +90,12 @@ class PallasRenderer:
 
     def shortlists(self, pscene: PallasScene, cam: CameraState):
         """Host-built per-block primary shortlists for phase-split bounce 0
-        (kernels.pallas.primary) — or (None, None) when disabled/unsupported.
-        Cached on (scene tables, camera, config); needs concrete camera values,
-        so it runs outside jit."""
-        from ..kernels.pallas.megakernel import MAX_SPLIT_SPP
-        if (self.config.pallas_primary == "off"
-                or self.config.samples_per_pixel > MAX_SPLIT_SPP
-                or self.config.level == 0):
-            if self.config.pallas_primary == "split":
-                raise ValueError(
-                    "pallas_primary='split' needs samples_per_pixel <= "
-                    f"{MAX_SPLIT_SPP} and a raytraced level")
-            return None, None
+        (kernels.pallas.primary.shortlists_for) — or (None, None) when
+        disabled/unworthwhile. Cached on (scene tables, camera, config);
+        needs concrete camera values, so it runs outside jit."""
         import numpy as np
+
+        from ..kernels.pallas.primary import shortlists_for
         cam_key = tuple(
             float(v) for v in (cam.position.x, cam.position.y, cam.position.z,
                                cam.direction.x, cam.direction.y,
@@ -112,16 +105,10 @@ class PallasRenderer:
         key = (self._pscene_cache[0], cam_key)
         if self._sl_cache is not None and self._sl_cache[0] == key:
             return self._sl_cache[1]
-        from ..kernels.pallas.primary import (build_block_shortlists,
-                                              split_worthwhile)
-        sph = np.asarray(pscene.sph)
-        sl, slmeta = build_block_shortlists(sph, cam, self.config)
-        if (self.config.pallas_primary == "auto"
-                and not split_worthwhile(sl, slmeta, sph,
-                                             self.config.samples_per_pixel)):
-            out = (None, None)
-        else:
-            out = (jnp.asarray(sl), jnp.asarray(slmeta))
+        sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam, self.config,
+                                    self.config.samples_per_pixel)
+        out = ((None, None) if sl is None
+               else (jnp.asarray(sl), jnp.asarray(slmeta)))
         self._sl_cache = (key, out)
         return out
 

@@ -440,10 +440,16 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
         disc = h * h - a * cc
         if fast_disc:       # NaN(disc<0) fails both compares — same accept set
             q = h - jnp.sqrt(disc)
-            better = (q > q_min) & (q < best_q)
+            ok = q > q_min
         else:
             q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-            better = ((disc >= 0.0) & (q > q_min) & (q < best_q))
+            ok = (disc >= 0.0) & (q > q_min)
+        # The full walks visit in ascending table index, where strict < keeps
+        # the LOWEST index among bit-equal q ties; the shortlist is re-sorted
+        # front-to-back, so the index tie-break must be explicit to stay
+        # value-identical (q == NaN/INF cases all fail both arms; a no-hit
+        # best_i of -1 can never win the equality arm since gi >= 0).
+        better = ok & ((q < best_q) | ((q == best_q) & (gi < best_i)))
         best_q = jnp.where(better, q, best_q)
         best_i = jnp.where(better, gi, best_i)
         return best_q, best_i

@@ -41,7 +41,7 @@ def shortlist_capacity(counts: np.ndarray) -> int:
     return max(SL_CHUNK, min(SL_MAX, -(-need // SL_CHUNK) * SL_CHUNK))
 
 
-def live_sphere_count(sph: np.ndarray) -> int:
+def live_mask(sph: np.ndarray) -> np.ndarray:
     """Real spheres in the kernel table: r² > 0, trailing sphere-0 padding
     duplicates excluded (prepare_pallas_scene's conventions)."""
     sph = np.asarray(sph)
@@ -50,7 +50,39 @@ def live_sphere_count(sph: np.ndarray) -> int:
     while j > 1 and np.all(sph[:, j - 1] == sph[:, 0]):
         j -= 1
     live[j:] = False
-    return int(live.sum())
+    return live
+
+
+def live_sphere_count(sph: np.ndarray) -> int:
+    return int(live_mask(sph).sum())
+
+
+def shortlists_for(sph: np.ndarray, cam, config, local_spp: int,
+                   block_lo: int = 0, n_blocks: int | None = None):
+    """Single-sourced gate + build for phase-split shortlists.
+
+    Returns NumPy ``(sl, meta)`` when the split should run, ``(None, None)``
+    when it shouldn't, and raises when ``pallas_primary="split"`` is forced on
+    an unsupported configuration — so every front-end (PallasRenderer,
+    ProgressiveRenderer, the sharded step) agrees on the contract. Callers
+    convert to device arrays and cache.
+    """
+    from .megakernel import MAX_SPLIT_SPP
+
+    supported = config.level != 0 and 1 <= local_spp <= MAX_SPLIT_SPP
+    if config.pallas_primary == "off" or not supported:
+        if config.pallas_primary == "split":
+            raise ValueError(
+                "pallas_primary='split' needs a raytraced level and a "
+                f"per-device samples_per_pixel (here {local_spp}) of at most "
+                f"{MAX_SPLIT_SPP}")
+        return None, None
+    sl, meta = build_block_shortlists(sph, cam, config, block_lo=block_lo,
+                                      n_blocks=n_blocks)
+    if (config.pallas_primary == "auto"
+            and not split_worthwhile(sl, meta, sph, local_spp)):
+        return None, None
+    return sl, meta
 
 
 def split_worthwhile(sl: np.ndarray, meta: np.ndarray, sph: np.ndarray,
@@ -97,15 +129,10 @@ def build_block_shortlists(sph: np.ndarray, cam, config,
     from .megakernel import BLOCK_H, BLOCK_W, block_grid
 
     sph = np.asarray(sph, np.float32)
-    s_total = sph.shape[1]
     cx, cy, cz, r2 = sph
 
     # Trailing padding duplicates of sphere 0 (prepare_pallas_scene) — drop.
-    live = r2 > 0.0
-    j = s_total
-    while j > 1 and np.all(sph[:, j - 1] == sph[:, 0]):
-        j -= 1
-    live[j:] = False
+    live = live_mask(sph)
 
     pos = np.array([float(cam.position.x), float(cam.position.y),
                     float(cam.position.z)], np.float64)

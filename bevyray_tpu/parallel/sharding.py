@@ -275,6 +275,25 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     return step
 
 
+# Shortlist cache for the sharded front-end (single slot — frame loops reuse
+# one scene/camera; ``leaves`` keeps the id()s unique while cached).
+_SHARDED_SL_CACHE: dict = {}
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_prepare():
+    from ..kernels.pallas.megakernel import prepare_pallas_scene
+    return jax.jit(prepare_pallas_scene)
+
+
+def _pallas_scene_key(scene: SceneBuffers, cam: CameraState,
+                      config: RenderConfig, sp: int):
+    from ..kernels.pallas.megakernel import pscene_cache_key
+    sid, leaves = pscene_cache_key(scene)
+    cam_key = tuple(float(np.asarray(x)) for x in jax.tree.leaves(cam))
+    return (sid, cam_key, config, sp), leaves
+
+
 def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraState,
                                 config: RenderConfig, frame_seed,
                                 raster_color: Optional[Vec3] = None,
@@ -288,24 +307,27 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         raster_depth = jnp.float32(0.0)
     # Host-built primary shortlists (phase-split bounce 0) for the padded
     # block grid, sharded over sp by the step's shard_map.
+    # shortlists_for owns the gate; results cache on (scene, camera, config,
+    # sp) so a frame loop doesn't rebuild per frame.
     sl = slmeta = None
     sp, dp = mesh.shape["sp"], mesh.shape["dp"]
     local_spp = config.samples_per_pixel // max(dp, 1)
-    from ..kernels.pallas.megakernel import (MAX_SPLIT_SPP, block_grid,
-                                             prepare_pallas_scene)
-    if (config.pallas_primary != "off" and config.level != 0
-            and 1 <= local_spp <= MAX_SPLIT_SPP):
-        from ..kernels.pallas.primary import (build_block_shortlists,
-                                              split_worthwhile)
+    from ..kernels.pallas.megakernel import block_grid, prepare_pallas_scene
+    from ..kernels.pallas.primary import shortlists_for
+    key, leaves = _pallas_scene_key(scene, cam, config, sp)
+    cached = _SHARDED_SL_CACHE.get("entry")
+    if cached is not None and cached[0] == key:
+        sl, slmeta = cached[2]
+    else:
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
-        pscene = jax.jit(prepare_pallas_scene)(scene)
-        sph = np.asarray(pscene.sph)
-        sl_np, slmeta_np = build_block_shortlists(
-            sph, cam, config, block_lo=0, n_blocks=n_blocks_padded)
-        if (config.pallas_primary == "split"
-                or split_worthwhile(sl_np, slmeta_np, sph, local_spp)):
+        pscene = _jitted_prepare()(scene)
+        sl_np, slmeta_np = shortlists_for(np.asarray(pscene.sph), cam, config,
+                                          local_spp, block_lo=0,
+                                          n_blocks=n_blocks_padded)
+        if sl_np is not None:
             sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
             slmeta = jnp.asarray(slmeta_np)
+        _SHARDED_SL_CACHE["entry"] = (key, leaves, (sl, slmeta))
     return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,
                 sl=sl, slmeta=slmeta)

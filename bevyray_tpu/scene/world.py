@@ -240,11 +240,14 @@ class World:
         t = self.camera_transform
         p = self.projection
         fwd = np.asarray(t.forward, np.float64)
-        if not (np.all(np.isfinite(fwd)) and np.linalg.norm(fwd) > 1e-12):
+        upv = np.asarray(t.up, np.float64)
+        if not (np.all(np.isfinite(fwd)) and np.linalg.norm(fwd) > 1e-12
+                and np.all(np.isfinite(upv)) and np.linalg.norm(upv) > 1e-12
+                and np.linalg.norm(np.cross(fwd, upv)) > 1e-12):
             raise ValueError(
-                "camera direction is degenerate (zero or non-finite) — "
-                "looking_at() a point equal to the camera position, or along "
-                "the up axis, produces no usable basis")
+                "camera basis is degenerate (zero, non-finite, or forward "
+                "parallel to up) — looking_at() a point equal to the camera "
+                "position, or along the up axis, produces no usable basis")
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return CameraState(
             position=Vec3(*(f32(v) for v in t.translation)),

@@ -32,10 +32,15 @@ def main(n_max: int = 8):
     if not _provision(n_max):
         import os
         import subprocess
-        code = f"import sys; sys.argv=['x']; exec(open({__file__!r}).read())"
+        if os.environ.get("_BEVYRAY_SCALING_CHILD"):   # one re-exec level only
+            print("cannot provision a CPU mesh even in a clean subprocess",
+                  file=sys.stderr)
+            return 1
         proc = subprocess.run([sys.executable, __file__],
                               cwd=os.path.dirname(os.path.dirname(
                                   os.path.abspath(__file__))),
+                              env={**os.environ,
+                                   "_BEVYRAY_SCALING_CHILD": "1"},
                               capture_output=True, text=True, timeout=2400)
         sys.stdout.write(proc.stdout)
         sys.stderr.write(proc.stderr[-1000:] if proc.returncode else "")

@@ -55,3 +55,31 @@ def test_degenerate_camera_raises():
         (1.0, 2.0, 3.0))
     with pytest.raises(ValueError, match="degenerate"):
         w.camera_state(aspect=1.0)
+
+
+def test_up_axis_camera_raises():
+    from bevyray_tpu.scene.components import Transform
+    from bevyray_tpu.scene.world import World
+
+    w = World()
+    # looking straight up: forward parallel to the up axis -> NaN basis
+    w.camera_transform = Transform.from_xyz(0.0, 0.0, 0.0).looking_at(
+        (0.0, 5.0, 0.0))
+    with pytest.raises(ValueError, match="degenerate"):
+        w.camera_state(aspect=1.0)
+
+
+def test_progressive_forced_split_raises_like_renderer():
+    from bevyray_tpu import rtiow
+    from bevyray_tpu.engine.film import ProgressiveRenderer
+    from bevyray_tpu.kernels.pallas.megakernel import MAX_SPLIT_SPP
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=64, height=64,
+                       samples_per_pixel=MAX_SPLIT_SPP + 1, bounces=1,
+                       level=3, pallas_primary="split")
+    prog = ProgressiveRenderer(cfg, backend="pallas")
+    with pytest.raises(ValueError, match="pallas_primary"):
+        prog.step(scene, cam, seed=0)
