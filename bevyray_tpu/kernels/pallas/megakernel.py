@@ -738,7 +738,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
                    normalize: bool = True, sl_ref=None, slmeta_ref=None,
-                   st_ref=None):
+                   st_ref=None, sppmap_ref=None):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -786,6 +786,11 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     grp_table = grp_ref[:] if use_candidates else None
 
     spp = config.samples_per_pixel
+    # Adaptive sampling (extension): per-lane sample targets ≤ spp — a lane
+    # simply stops once its pixel's target is reached, which the persistent
+    # loop supports for free. Without a map, ``target`` is the static spp.
+    target = (jnp.minimum(sppmap_ref[0], spp) if sppmap_ref is not None
+              else spp)
 
     def make_provider(sample_vec):
         """sample_vec: per-lane sample index (i32 scalar or (TILE_SUB,128))."""
@@ -933,17 +938,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
         def phase_a(s, acc):
             cr, cg, cb, dsum, segsum = acc
+            act = in_image & (s < target)
             provider = make_provider(s)
             o, d = raygen(provider)
             o, d, rc, rad, fd, cont = bounce_core(
-                o, d, in_image, s * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
+                o, d, act, s * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
                 Vec3.full(n, 0.0, 0.0, 0.0), jnp.full(n, INF, jnp.float32),
                 intersect_fn=intersect_primary)
             if config.bounces < 1:
                 cont = cont & False
-            died = in_image & ~cont
+            died = act & ~cont
             cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
-            segsum = segsum + jnp.where(in_image, 1.0, 0.0)
+            segsum = segsum + jnp.where(act, 1.0, 0.0)
             for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
                            (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
                            (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
@@ -1042,13 +1048,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         # (pixel, sample, slot); exact-RNG images agree with the per-sample
         # loop to fma-contraction ulps (the two loop shapes compile with
         # different fusion, so agreement is ulp-level, not bitwise).
-        def cond(carry):
-            return jnp.min(carry[0]) < spp
+        if sppmap_ref is None:
+            def cond(carry):
+                return jnp.min(carry[0]) < spp
+        else:
+            def cond(carry):
+                alive = carry[0] < target
+                return jnp.max(jnp.where(alive, 1.0, 0.0)) > 0.0
 
         def body(carry):
             (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
              cr, cg, cb, dsum, segsum) = carry
-            active = s_lane < spp
+            active = s_lane < target
             provider = make_provider(s_lane)
             o, d, ray_color, radiance, first_depth, cont = bounce_core(
                 o, d, active, b_lane, provider, ray_color, radiance,
@@ -1067,7 +1078,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
             # Restart dead lanes on their next sample.
             s_lane = s_lane + jnp.where(died, 1, 0)
-            need = died & (s_lane < spp)
+            need = died & (s_lane < target)
             o2, d2 = raygen(make_provider(s_lane))
             o = Vec3.where(need, o2, o)
             d = Vec3.where(need, d2, d)
@@ -1113,7 +1124,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
             init = (jnp.int32(0), o, d,
                     Vec3.full(n, 1.0, 1.0, 1.0), Vec3.full(n, 0.0, 0.0, 0.0),
-                    jnp.where(in_image, 1.0, 0.0), jnp.full(n, INF, jnp.float32),
+                    jnp.where(in_image & (sample_idx < target), 1.0, 0.0),
+                    jnp.full(n, INF, jnp.float32),
                     jnp.zeros(n, jnp.float32))
             (_, _, _, _, radiance, active_f, first_depth, segs) = (
                 jax.lax.while_loop(cond, body, init))
@@ -1394,10 +1406,23 @@ def unshuffle_blocks(flat, config: RenderConfig):
     return img[:config.height, :config.width].reshape(-1)
 
 
+def shuffle_blocks(flat, config: RenderConfig, fill=0):
+    """Row-major [H*W] per-pixel values → the kernel's BLOCK order
+    (n_tiles, TILE_SUB, 128) — the inverse of :func:`unshuffle_blocks`
+    (off-image padding lanes get ``fill``)."""
+    nbx, nby = block_grid(config)
+    h, w = config.height, config.width
+    img = jnp.asarray(flat).reshape(h, w)
+    img = jnp.pad(img, ((0, nby * BLOCK_H - h), (0, nbx * BLOCK_W - w)),
+                  constant_values=fill)
+    img = img.reshape(nby, BLOCK_H, nbx, BLOCK_W).transpose(0, 2, 1, 3)
+    return img.reshape(nbx * nby, TILE_SUB, 128)
+
+
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                  frame_seed, exact_rng: bool = False, block_offset=0,
                  sample_offset=0, n_blocks_local=None, normalize: bool = True,
-                 persistent: bool = True, sl=None, slmeta=None):
+                 persistent: bool = True, sl=None, slmeta=None, spp_map=None):
     """Run the megakernel over the frame (or one shard of it when
     ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
     multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
@@ -1409,7 +1434,13 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     kernels.pallas.primary, one row per LOCAL tile) — when given (and
     ``persistent``), the kernel runs in phase-split mode: a coherent bounce-0
     pass over every sample against the shortlist, then the persistent loop for
-    bounces ≥ 1 restarting from VMEM-parked sample states."""
+    bounces ≥ 1 restarting from VMEM-parked sample states.
+
+    ``spp_map``: optional per-lane sample targets, BLOCK-ordered
+    (n_tiles, TILE_SUB, 128) i32 (see :func:`shuffle_blocks`) — each pixel
+    traces min(map, spp) samples (adaptive sampling extension); color/depth
+    outputs are SUMS over the traced samples, so pass ``normalize=False`` and
+    divide by the actual counts outside."""
     nbx, nby = block_grid(config)
     n_tiles = n_blocks_local if n_blocks_local is not None else nbx * nby
     s = pscene.sph.shape[1]
@@ -1454,6 +1485,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         full(pscene.grp.shape),
     ]
     scratch_shapes = []
+    extra_names = []
+    extra_args = []
     if phase_split:
         # Mosaic wants SMEM block sublane dims divisible by 8, so shortlists
         # ride in 8-tile row groups (index_map i // 8, kernel reads row i % 8).
@@ -1474,12 +1507,26 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         ]
         scratch_shapes = [pltpu.VMEM(
             (config.samples_per_pixel, N_ST * TILE_SUB, 128), jnp.float32)]
+        extra_names += ["sl_ref", "slmeta_ref"]
+        extra_args += [sl2d, slmeta2d]
+    if spp_map is not None:
+        assert spp_map.shape[0] == n_tiles, \
+            "spp_map must cover exactly the local tile range"
+        in_specs += [tile_spec]
+        extra_names += ["sppmap_ref"]
+        extra_args += [jnp.asarray(spp_map, jnp.int32)]
 
-        def kernel(cam_r, seed_r, sph_r, gaabb_r, tri_r, attr_r, grp_r,
-                   sl_r, slmeta_r, o_r, o_g, o_b, o_d, o_s, st_r):
-            base_kernel(cam_r, seed_r, sph_r, gaabb_r, tri_r, attr_r, grp_r,
-                        o_r, o_g, o_b, o_d, o_s, sl_ref=sl_r,
-                        slmeta_ref=slmeta_r, st_ref=st_r)
+    if extra_names:
+        n_extra = len(extra_names)
+
+        def kernel(*refs):
+            ins, extras = refs[:7], refs[7:7 + n_extra]
+            outs = refs[7 + n_extra:7 + n_extra + 5]
+            scratch = refs[7 + n_extra + 5:]
+            kw = dict(zip(extra_names, extras))
+            if scratch:
+                kw["st_ref"] = scratch[0]
+            base_kernel(*ins, *outs, **kw)
     else:
         kernel = base_kernel
     outs_fn = pl.pallas_call(
@@ -1497,8 +1544,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
               else jnp.zeros((10, 1), jnp.float32))
     args = [cam_row, seed, pscene.sph, pscene.gaabb, tri_in, pscene.attr,
             pscene.grp]
-    if phase_split:
-        args += [sl2d, slmeta2d]
+    args += extra_args
     outs = outs_fn(*args)
     r, g, b, depth, segs = outs
     flat = lambda x: x.reshape(n_tiles * TILE)

@@ -1,0 +1,71 @@
+"""Adaptive sampling (engine/adaptive.py + the megakernel's per-lane sample
+targets): tolerance 0 must reproduce uniform progressive accumulation
+draw-for-draw; a positive tolerance must stop converged pixels while keeping
+the estimate unbiased."""
+
+import numpy as np
+
+from bevyray_tpu import RenderConfig, rtiow
+from bevyray_tpu.engine.adaptive import AdaptiveRenderer
+from bevyray_tpu.engine.film import ProgressiveRenderer
+
+
+def _scene():
+    world = rtiow.material_test_scene()
+    return world.extract(with_bvh=False), world.camera_state(aspect=1.0)
+
+
+def test_tolerance_zero_matches_uniform_progressive():
+    scene, cam = _scene()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=2, bounces=3,
+                       level=3)
+    prog = ProgressiveRenderer(cfg, backend="pallas")
+    adap = AdaptiveRenderer(cfg, tolerance=0.0)
+    for i in range(3):
+        f_ref = prog.step(scene, cam, seed=i)
+        adap.step(scene, cam, seed=i)
+    f = adap.resolve(cam)
+    assert float(adap.film.n_samples.min()) == 6.0
+    np.testing.assert_allclose(np.asarray(f.image), np.asarray(f_ref.image),
+                               atol=1e-5)
+    assert float(f.rays_traced) == float(f_ref.rays_traced)
+
+
+def test_adaptive_stops_converged_pixels_and_stays_unbiased():
+    scene, cam = _scene()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=2, bounces=3,
+                       level=3)
+    adap = AdaptiveRenderer(cfg, tolerance=0.05)
+    for i in range(5):
+        adap.step(scene, cam, seed=i)
+    counts = adap.samples_map()
+    # Some pixels stopped early, none exceeded the budget, and sampling
+    # focused on the noisy ones (sky converges fastest in this scene).
+    assert counts.max() == 5 * cfg.samples_per_pixel
+    assert counts.min() >= 2 * cfg.samples_per_pixel  # warmup + second look
+    assert (counts < counts.max()).mean() > 0.2
+    assert adap.converged_fraction() > 0.2
+
+    # Fewer rays than uniform for the same pass count...
+    uni = AdaptiveRenderer(cfg, tolerance=0.0)
+    for i in range(5):
+        uni.step(scene, cam, seed=i)
+    assert (float(adap.film.rays_traced)
+            < 0.9 * float(uni.film.rays_traced))
+
+    # ...while the estimate stays close to the uniform one (stopped pixels are
+    # exactly the ones whose estimate had settled).
+    a = np.asarray(adap.resolve(cam).image)
+    u = np.asarray(uni.resolve(cam).image)
+    assert float(np.abs(a - u).mean()) < 0.02
+
+
+def test_spp_map_roundtrip():
+    from bevyray_tpu.kernels.pallas.megakernel import (shuffle_blocks,
+                                                       unshuffle_blocks)
+    cfg = RenderConfig(width=100, height=72, samples_per_pixel=1, bounces=1,
+                       level=3)
+    vals = np.arange(100 * 72, dtype=np.float32)
+    blocked = shuffle_blocks(vals, cfg, fill=-1)
+    back = np.asarray(unshuffle_blocks(np.asarray(blocked).reshape(-1), cfg))
+    np.testing.assert_array_equal(back, vals)
