@@ -109,21 +109,39 @@ def cmd_accumulate(args):
     config = _config(args)
     scene = world.extract(with_bvh=(args.backend in ("auto", "bvh")))
     cam = world.camera_state(aspect=args.width / args.height)
-    prog = ProgressiveRenderer(
-        config, backend="pallas" if args.backend == "pallas" else "xla")
     raster_color, raster_depth = _raster_buffers(world, cam, config)
-    frame = None
-    for i in range(args.passes):
-        frame = prog.step(scene, cam, seed=args.seed + i,
-                          raster_color=raster_color, raster_depth=raster_depth)
-    jax.block_until_ready(frame.image)
+    if args.adaptive_tolerance > 0.0:
+        # Adaptive extension: converged pixels stop sampling (engine/adaptive).
+        from ..engine.adaptive import AdaptiveRenderer
+        adap = AdaptiveRenderer(config, tolerance=args.adaptive_tolerance)
+        for i in range(args.passes):
+            adap.step(scene, cam, seed=args.seed + i)
+        frame = adap.resolve(cam, raster_color=raster_color,
+                             raster_depth=raster_depth)
+        jax.block_until_ready(frame.image)
+        counts = adap.samples_map()
+        print(f"adaptive: {adap.converged_fraction() * 100:.0f}% pixels "
+              f"converged, samples/pixel {counts.min():.0f}-{counts.max():.0f}"
+              f" (mean {counts.mean():.1f})")
+    else:
+        prog = ProgressiveRenderer(
+            config, backend="pallas" if args.backend == "pallas" else "xla")
+        frame = None
+        for i in range(args.passes):
+            frame = prog.step(scene, cam, seed=args.seed + i,
+                              raster_color=raster_color,
+                              raster_depth=raster_depth)
+        jax.block_until_ready(frame.image)
     image = frame.image
     if args.denoise > 0:
         from ..engine.denoise import jitted_denoise
         image = jitted_denoise(args.denoise, args.denoise_sigma_color,
                                args.denoise_sigma_depth)(image, frame.rt_depth)
     write_png(args.out, np.asarray(image))
-    print(f"accumulated {prog.samples_accumulated} spp -> {args.out}")
+    spp_done = (args.passes * config.samples_per_pixel
+                if args.adaptive_tolerance > 0.0
+                else prog.samples_accumulated)
+    print(f"accumulated {spp_done} spp -> {args.out}")
     return 0
 
 
@@ -194,6 +212,10 @@ def main(argv=None):
                             "shortlist phase when spp <= 32)")
         s.add_argument("--diffuse-sampling", default="reference",
                        choices=["reference", "cosine"])
+        s.add_argument("--adaptive-tolerance", type=float, default=0.0,
+                       help="adaptive sampling: stop pixels whose inter-pass "
+                            "disagreement falls below this (0 = uniform; "
+                            "accumulate subcommand, extension)")
         s.add_argument("--denoise", type=int, default=0, metavar="N",
                        help="edge-aware a-trous denoise iterations "
                             "(0 = off, extension)")

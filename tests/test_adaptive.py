@@ -69,3 +69,13 @@ def test_spp_map_roundtrip():
     blocked = shuffle_blocks(vals, cfg, fill=-1)
     back = np.asarray(unshuffle_blocks(np.asarray(blocked).reshape(-1), cfg))
     np.testing.assert_array_equal(back, vals)
+
+
+def test_cli_adaptive_accumulate(tmp_path):
+    from bevyray_tpu.app.cli import main
+    out = tmp_path / "a.png"
+    rc = main(["accumulate", "--scene", "material", "--width", "48",
+               "--height", "48", "--spp", "2", "--passes", "3",
+               "--backend", "pallas", "--adaptive-tolerance", "0.05",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
