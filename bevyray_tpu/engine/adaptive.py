@@ -148,6 +148,37 @@ class AdaptiveRenderer:
                              sl=sl, slmeta=slmeta)
         self._sample_offset += self.config.samples_per_pixel
 
+    def save(self, path: str) -> None:
+        """Checkpoint the adaptive state (.npz) — resumable mid-refinement."""
+        f = self.film
+        np.savez(path, color_x=np.asarray(f.color_sum.x),
+                 color_y=np.asarray(f.color_sum.y),
+                 color_z=np.asarray(f.color_sum.z),
+                 depth=np.asarray(f.depth_sum),
+                 n_samples=np.asarray(f.n_samples), err=np.asarray(f.err),
+                 rays_traced=np.asarray(f.rays_traced),
+                 sample_offset=np.int64(self._sample_offset),
+                 width=np.int64(self.config.width),
+                 height=np.int64(self.config.height))
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        if (int(z["width"]), int(z["height"])) != (self.config.width,
+                                                   self.config.height):
+            raise ValueError(
+                f"adaptive checkpoint {path!r} is {int(z['width'])}x"
+                f"{int(z['height'])} but the config is "
+                f"{self.config.width}x{self.config.height}")
+        self.film = AdaptiveFilm(
+            color_sum=Vec3(jnp.asarray(z["color_x"]),
+                           jnp.asarray(z["color_y"]),
+                           jnp.asarray(z["color_z"])),
+            depth_sum=jnp.asarray(z["depth"]),
+            n_samples=jnp.asarray(z["n_samples"]),
+            err=jnp.asarray(z["err"]),
+            rays_traced=jnp.asarray(z["rays_traced"]))
+        self._sample_offset = int(z["sample_offset"])
+
     def converged_fraction(self) -> float:
         return float(jnp.mean(self.film.err < self.tolerance))
 

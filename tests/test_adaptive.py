@@ -79,3 +79,28 @@ def test_cli_adaptive_accumulate(tmp_path):
                "--backend", "pallas", "--adaptive-tolerance", "0.05",
                "--out", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_adaptive_checkpoint_resume(tmp_path):
+    scene, cam = _scene()
+    cfg = RenderConfig(width=48, height=48, samples_per_pixel=2, bounces=2,
+                       level=3)
+    a = AdaptiveRenderer(cfg, tolerance=0.05)
+    a.step(scene, cam, seed=0)
+    a.step(scene, cam, seed=1)
+    path = str(tmp_path / "a.npz")
+    a.save(path)
+
+    b = AdaptiveRenderer(cfg, tolerance=0.05)
+    b.load(path)
+    a.step(scene, cam, seed=2)
+    b.step(scene, cam, seed=2)
+    np.testing.assert_array_equal(np.asarray(a.resolve(cam).image),
+                                  np.asarray(b.resolve(cam).image))
+
+    import pytest
+    wrong = AdaptiveRenderer(RenderConfig(width=32, height=32,
+                                          samples_per_pixel=2, bounces=2,
+                                          level=3), tolerance=0.05)
+    with pytest.raises(ValueError, match="checkpoint"):
+        wrong.load(path)
