@@ -41,6 +41,24 @@ Design notes (constraints/costs measured on TPU v5e by probing + ablation):
   the NumPy oracle — bit-comparable, used by interpret-mode tests.
 - Shading, sky, and the exact-RNG path reuse the same jnp building blocks as the
   XLA renderer (core.rng, kernels.shade, kernels.composite).
+- **Phase-split sampling** (round 2, default ≤ MAX_SPLIT_SPP): bounce 0 of
+  every sample runs first as a fully coherent pass against host-built
+  per-block frustum shortlists (kernels/pallas/primary.py — ~7 of 512 spheres
+  per 64×64 block on the bench scene), with continuing-path state parked in
+  VMEM scratch; bounces ≥ 1 then run the persistent loop, restarting dead
+  lanes from their pixel's next stored sample via a static one-hot slot fetch
+  (measured ≈ free — VMEM streaming overlaps the walk). Frame split at the
+  headline: bounce-0 pass 47 ms of 331 ms. With bounce 0 removed, the
+  remaining traffic is pure bounce soup, where the per-lane candidate walk
+  beats brute at 512 padded spheres (+14%) — hence the phase-split-aware
+  ``auto`` crossover in ``_use_candidate_walk``.
+- The per-sphere test is VECTOR-ISSUE-bound (~2 ops/cycle; 0.0092 ns/pair ≈
+  speed-of-light for its ~20 ops): SMEM scalar delivery is free, sqrt is
+  ~25-30% of the test with no cheaper exact substitute, and ``fast_disc``
+  (sqrt(disc<0)=NaN fails both accept compares — bit-identical) shaves the
+  explicit disc ≥ 0 test. Straggler-lane work in the candidate walk is
+  irreducible at tile lockstep (seeding/capping both measured negative —
+  CLAUDE.md has the full round-2b wall list).
 """
 
 from __future__ import annotations
