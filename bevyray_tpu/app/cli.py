@@ -50,6 +50,24 @@ def _config(args):
                         pallas_primary=args.pallas_primary)
 
 
+def _denoised(image, frame, args, raster_depth, cam):
+    """Apply the a-trous filter; in hybrid modes fold the raster layer's
+    reverse-Z depth into the guide (converted to view-z) so rasterized
+    silhouettes form depth edges too — rt_depth alone is smooth across them."""
+    import jax.numpy as jnp
+
+    from ..engine.denoise import jitted_denoise
+    guide = frame.rt_depth
+    if raster_depth is not None:
+        rd = jnp.asarray(raster_depth).reshape(guide.shape)
+        near = jnp.float32(cam.near)
+        guide = jnp.where(rd > 0.0,
+                          jnp.minimum(guide, near / jnp.maximum(rd, 1e-8)),
+                          guide)
+    return jitted_denoise(args.denoise, args.denoise_sigma_color,
+                          args.denoise_sigma_depth)(image, guide)
+
+
 def _raster_buffers(world, cam, config):
     """Rasterize the world's raster-only entities (the reference's cube,
     main.rs:76-85) for the hybrid modes; (None, None) = plain clear color."""
@@ -89,9 +107,7 @@ def cmd_render(args):
     dt = time.perf_counter() - t0
     image = frame.image
     if args.denoise > 0:
-        from ..engine.denoise import jitted_denoise
-        image = jitted_denoise(args.denoise, args.denoise_sigma_color,
-                               args.denoise_sigma_depth)(image, frame.rt_depth)
+        image = _denoised(image, frame, args, raster_depth, cam)
     write_png(args.out, np.asarray(image))
     rays = float(frame.rays_traced)
     print(f"rendered {args.width}x{args.height} spp={args.spp} in {dt:.3f}s "
@@ -112,6 +128,11 @@ def cmd_accumulate(args):
     raster_color, raster_depth = _raster_buffers(world, cam, config)
     if args.adaptive_tolerance > 0.0:
         # Adaptive extension: converged pixels stop sampling (engine/adaptive).
+        # The controller drives the Pallas megakernel's spp_map path only.
+        if args.backend not in ("auto", "pallas"):
+            print(f"--adaptive-tolerance requires the pallas backend "
+                  f"(got --backend {args.backend})", file=sys.stderr)
+            return 2
         from ..engine.adaptive import AdaptiveRenderer
         adap = AdaptiveRenderer(config, tolerance=args.adaptive_tolerance)
         for i in range(args.passes):
@@ -134,11 +155,9 @@ def cmd_accumulate(args):
         jax.block_until_ready(frame.image)
     image = frame.image
     if args.denoise > 0:
-        from ..engine.denoise import jitted_denoise
-        image = jitted_denoise(args.denoise, args.denoise_sigma_color,
-                               args.denoise_sigma_depth)(image, frame.rt_depth)
+        image = _denoised(image, frame, args, raster_depth, cam)
     write_png(args.out, np.asarray(image))
-    spp_done = (args.passes * config.samples_per_pixel
+    spp_done = (f"{counts.mean():.1f} mean (adaptive)"
                 if args.adaptive_tolerance > 0.0
                 else prog.samples_accumulated)
     print(f"accumulated {spp_done} spp -> {args.out}")

@@ -29,7 +29,6 @@ import numpy as np
 
 from ..core.types import CameraState, RenderConfig, SceneBuffers
 from ..core.vec import Vec3
-from ..kernels.composite import composite
 from .renderer import FrameResult
 
 
@@ -117,31 +116,42 @@ class AdaptiveRenderer:
         self._sample_offset = 0
         self._pscene_cache = None
         self._sl_cache = None
+        self._last_cam_key = None
+
+    def reset(self) -> None:
+        self.film = _new_film(self.config.n_pixels)
+        self._sample_offset = 0
 
     def _prepare(self, scene: SceneBuffers):
-        from ..kernels.pallas.megakernel import (prepare_pallas_scene,
+        from ..kernels.pallas.megakernel import (jitted_prepare,
                                                  pscene_cache_key)
         key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is None or self._pscene_cache[0] != key:
-            self._pscene_cache = (key, leaves,
-                                  jax.jit(prepare_pallas_scene)(scene))
+            self._pscene_cache = (key, leaves, jitted_prepare()(scene))
             self._sl_cache = None
         return self._pscene_cache[2]
 
-    def _shortlists(self, pscene, cam: CameraState):
+    def _shortlists(self, pscene, cam: CameraState, cam_key):
         from ..kernels.pallas.primary import shortlists_for
-        if self._sl_cache is not None:
-            return self._sl_cache
+        if self._sl_cache is not None and self._sl_cache[0] == cam_key:
+            return self._sl_cache[1]
         sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam, self.config,
                                     self.config.samples_per_pixel)
         if sl is not None:
             sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-        self._sl_cache = (sl, slmeta)
-        return self._sl_cache
+        self._sl_cache = (cam_key, (sl, slmeta))
+        return self._sl_cache[1]
 
     def step(self, scene: SceneBuffers, cam: CameraState, seed: int) -> None:
+        # Accumulated samples (and the camera-keyed shortlists) are only
+        # valid for one viewpoint — reset on camera change, like
+        # ProgressiveRenderer.
+        cam_key = tuple(float(np.asarray(x)) for x in jax.tree.leaves(cam))
+        if cam_key != self._last_cam_key:
+            self.reset()
+            self._last_cam_key = cam_key
         pscene = self._prepare(scene)
-        sl, slmeta = self._shortlists(pscene, cam)
+        sl, slmeta = self._shortlists(pscene, cam, cam_key)
         self.film = self._fn(film=self.film, pscene=pscene, cam=cam,
                              frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                              sample_offset=jnp.uint32(self._sample_offset),
@@ -159,7 +169,8 @@ class AdaptiveRenderer:
                  rays_traced=np.asarray(f.rays_traced),
                  sample_offset=np.int64(self._sample_offset),
                  width=np.int64(self.config.width),
-                 height=np.int64(self.config.height))
+                 height=np.int64(self.config.height),
+                 cam_key=np.asarray(self._last_cam_key or [], np.float64))
 
     def load(self, path: str) -> None:
         z = np.load(path)
@@ -178,6 +189,10 @@ class AdaptiveRenderer:
             err=jnp.asarray(z["err"]),
             rays_traced=jnp.asarray(z["rays_traced"]))
         self._sample_offset = int(z["sample_offset"])
+        # Resuming under the SAME camera continues; a different camera at the
+        # next step() correctly resets (the film is viewpoint-specific).
+        ck = z["cam_key"] if "cam_key" in z else np.array([])
+        self._last_cam_key = tuple(float(v) for v in ck) if ck.size else None
 
     def converged_fraction(self) -> float:
         return float(jnp.mean(self.film.err < self.tolerance))
@@ -188,20 +203,17 @@ class AdaptiveRenderer:
 
     def resolve(self, cam: CameraState, raster_color: Optional[Vec3] = None,
                 raster_depth=None) -> FrameResult:
-        cfg = self.config
-        n = cfg.n_pixels
+        # film.resolve_impl's inv = 1/max(n, 1) math broadcasts over the
+        # per-pixel n_samples array unchanged — reuse it (and its jit cache).
+        from .film import Film, _jitted_resolve
         if raster_color is None:
             raster_color = Vec3.splat(jnp.float32(1.0))
         if raster_depth is None:
             raster_depth = jnp.float32(0.0)
-        inv = 1.0 / jnp.maximum(self.film.n_samples, 1.0)
-        rt_color = self.film.color_sum.scale(inv)
-        rt_depth = self.film.depth_sum * inv
-        out = composite(cfg.level, rt_color, rt_depth, cam.near, cam.far,
-                        raster_color, raster_depth)
-        img = jnp.stack([jnp.broadcast_to(out.x, (n,)),
-                         jnp.broadcast_to(out.y, (n,)),
-                         jnp.broadcast_to(out.z, (n,))], axis=-1)
-        return FrameResult(image=img.reshape(cfg.height, cfg.width, 3),
-                           rt_depth=rt_depth.reshape(cfg.height, cfg.width),
-                           rays_traced=self.film.rays_traced)
+        film = Film(color_sum=self.film.color_sum,
+                    depth_sum=self.film.depth_sum,
+                    n_samples=self.film.n_samples,
+                    rays_traced=self.film.rays_traced)
+        return _jitted_resolve(self.config)(film=film, cam=cam,
+                                            raster_color=raster_color,
+                                            raster_depth=raster_depth)

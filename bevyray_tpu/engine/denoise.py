@@ -62,6 +62,8 @@ def atrous_denoise(image: jnp.ndarray, depth: jnp.ndarray, *,
 
     for it in range(iterations):
         stride = 1 << it
+        if 2 * stride >= min(img.shape[0], img.shape[1]):
+            break   # taps would reach past the image — coarser passes are moot
         sz = sigma_depth * stride
         inv_2sz2 = 1.0 / (2.0 * sz * sz)
         acc = jnp.zeros_like(img)

@@ -12,9 +12,8 @@ import jax.numpy as jnp
 from ..core.types import CameraState, RenderConfig, SceneBuffers
 from ..core.vec import Vec3
 from ..kernels.composite import composite
-from ..kernels.pallas.megakernel import (PallasScene, prepare_pallas_scene,
-                                         pscene_cache_key, render_tiles,
-                                         unshuffle_blocks)
+from ..kernels.pallas.megakernel import (PallasScene, pscene_cache_key,
+                                         render_tiles, unshuffle_blocks)
 from .renderer import FrameResult
 
 
@@ -81,10 +80,11 @@ class PallasRenderer:
         # materials AND triangles) — a scene reusing sphere arrays with
         # replaced shading data must miss. Leaves are retained because id()
         # values are only unique among live objects.
+        from ..kernels.pallas.megakernel import jitted_prepare
         key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
             return self._pscene_cache[2]
-        pscene = jax.jit(prepare_pallas_scene)(scene)
+        pscene = jitted_prepare()(scene)
         self._pscene_cache = (key, leaves, pscene)
         return pscene
 

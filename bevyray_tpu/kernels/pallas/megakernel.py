@@ -1392,6 +1392,13 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri, grp=grp)
 
 
+@functools.lru_cache(maxsize=1)
+def jitted_prepare():
+    """The shared jitted prepare_pallas_scene wrapper — one jit cache for
+    every front-end (PallasRenderer, AdaptiveRenderer, the sharded step)."""
+    return jax.jit(prepare_pallas_scene)
+
+
 def _pack_camera(cam: CameraState, config: RenderConfig):
     right = cam.direction.cross(cam.up)   # wgsl:149
     vals = jnp.zeros((1, N_CAM), jnp.float32)

@@ -280,18 +280,13 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
 _SHARDED_SL_CACHE: dict = {}
 
 
-@functools.lru_cache(maxsize=1)
-def _jitted_prepare():
-    from ..kernels.pallas.megakernel import prepare_pallas_scene
-    return jax.jit(prepare_pallas_scene)
-
-
 def _pallas_scene_key(scene: SceneBuffers, cam: CameraState,
-                      config: RenderConfig, sp: int):
+                      config: RenderConfig, sp: int, dp: int):
+    # dp matters too: the cached gate decision keys on local_spp = spp // dp.
     from ..kernels.pallas.megakernel import pscene_cache_key
     sid, leaves = pscene_cache_key(scene)
     cam_key = tuple(float(np.asarray(x)) for x in jax.tree.leaves(cam))
-    return (sid, cam_key, config, sp), leaves
+    return (sid, cam_key, config, sp, dp), leaves
 
 
 def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraState,
@@ -312,16 +307,16 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
     sl = slmeta = None
     sp, dp = mesh.shape["sp"], mesh.shape["dp"]
     local_spp = config.samples_per_pixel // max(dp, 1)
-    from ..kernels.pallas.megakernel import block_grid, prepare_pallas_scene
+    from ..kernels.pallas.megakernel import block_grid, jitted_prepare
     from ..kernels.pallas.primary import shortlists_for
-    key, leaves = _pallas_scene_key(scene, cam, config, sp)
+    key, leaves = _pallas_scene_key(scene, cam, config, sp, dp)
     cached = _SHARDED_SL_CACHE.get("entry")
     if cached is not None and cached[0] == key:
         sl, slmeta = cached[2]
     else:
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
-        pscene = _jitted_prepare()(scene)
+        pscene = jitted_prepare()(scene)
         sl_np, slmeta_np = shortlists_for(np.asarray(pscene.sph), cam, config,
                                           local_spp, block_lo=0,
                                           n_blocks=n_blocks_padded)

@@ -241,9 +241,11 @@ class World:
         p = self.projection
         fwd = np.asarray(t.forward, np.float64)
         upv = np.asarray(t.up, np.float64)
-        if not (np.all(np.isfinite(fwd)) and np.linalg.norm(fwd) > 1e-12
-                and np.all(np.isfinite(upv)) and np.linalg.norm(upv) > 1e-12
-                and np.linalg.norm(np.cross(fwd, upv)) > 1e-12):
+        nf, nu = np.linalg.norm(fwd), np.linalg.norm(upv)
+        # |cross| of the NORMALIZED vectors = sin(angle): scale-invariant.
+        if not (np.all(np.isfinite(fwd)) and nf > 1e-12
+                and np.all(np.isfinite(upv)) and nu > 1e-12
+                and np.linalg.norm(np.cross(fwd / nf, upv / nu)) > 1e-9):
             raise ValueError(
                 "camera basis is degenerate (zero, non-finite, or forward "
                 "parallel to up) — looking_at() a point equal to the camera "

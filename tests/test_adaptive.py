@@ -104,3 +104,27 @@ def test_adaptive_checkpoint_resume(tmp_path):
                                           level=3), tolerance=0.05)
     with pytest.raises(ValueError, match="checkpoint"):
         wrong.load(path)
+
+
+def test_camera_change_resets_film_and_shortlists():
+    # Camera-keyed shortlists + a viewpoint-specific film: moving the camera
+    # must reset both (an earlier bug reused cam A's frustum shortlists for
+    # cam B, silently culling visible spheres).
+    from bevyray_tpu.scene.components import (PerspectiveProjection,
+                                              RaytracedCamera, Transform)
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam_a = world.camera_state(aspect=1.0)
+    world.set_camera(Transform.from_xyz(2.0, 1.5, 6.0).looking_at((0, 0.5, 0)),
+                     PerspectiveProjection(), RaytracedCamera())
+    cam_b = world.camera_state(aspect=1.0)
+
+    cfg = RenderConfig(width=48, height=48, samples_per_pixel=2, bounces=2,
+                       level=3)
+    moved = AdaptiveRenderer(cfg, tolerance=0.0)
+    moved.step(scene, cam_a, seed=0)
+    moved.step(scene, cam_b, seed=0)       # must reset, not mix viewpoints
+    fresh = AdaptiveRenderer(cfg, tolerance=0.0)
+    fresh.step(scene, cam_b, seed=0)
+    np.testing.assert_array_equal(np.asarray(moved.resolve(cam_b).image),
+                                  np.asarray(fresh.resolve(cam_b).image))
