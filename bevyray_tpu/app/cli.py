@@ -177,23 +177,26 @@ def cmd_bench(args):
     frame = renderer.render(scene, cam, seed=0,
                             raster_color=raster_color, raster_depth=raster_depth)
     jax.block_until_ready(frame.image)
-    rays = float(frame.rays_traced)
 
     times = []
-    for i in range(args.frames):
-        t0 = time.perf_counter()
+    rays = []   # per-seed ray counts: path lengths vary per seed, so the
+    for i in range(args.frames):  # numerator must come from the TIMED frames
+        t0 = time.perf_counter()  # (same methodology as the repo-root bench.py)
         frame = renderer.render(scene, cam, seed=i + 1,
                                 raster_color=raster_color,
                                 raster_depth=raster_depth)
         jax.block_until_ready(frame.image)
         times.append(time.perf_counter() - t0)
+        rays.append(float(frame.rays_traced))
     p50 = float(np.percentile(times, 50))
+    rays_per_frame = float(np.mean(rays))
     print(json.dumps({
         "metric": f"Mrays/sec ({args.scene}, {args.width}x{args.height}, "
                   f"{args.spp}spp)",
-        "value": round(rays / p50 / 1e6, 2),
+        "value": round(rays_per_frame / p50 / 1e6, 2),
         "unit": "Mrays/s",
         "p50_frame_ms": round(p50 * 1e3, 2),
+        "rays_per_frame": int(rays_per_frame),
         "device": str(jax.devices()[0]),
     }))
     return 0

@@ -49,15 +49,20 @@ def _new_film(n: int) -> AdaptiveFilm:
 
 
 def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
-                   config: RenderConfig, frame_seed, sample_offset,
+                   config: RenderConfig, frame_seed, sample_offset, reprobe,
                    tolerance: float, sl=None, slmeta=None):
     """One pass: pixels with err >= tolerance trace config.samples_per_pixel
-    fresh samples; the rest trace none. Returns the updated film."""
+    fresh samples; the rest trace none. Returns the updated film.
+
+    ``reprobe`` (traced bool): force-sample EVERY pixel this pass and fold the
+    new disagreement into ``err`` — the periodic escape hatch that lets a noisy
+    pixel whose pass once agreed by chance resume sampling (a stopped pixel's
+    err is otherwise never re-evaluated)."""
     from ..kernels.pallas.megakernel import (render_tiles, shuffle_blocks,
                                              unshuffle_blocks)
 
     spp = config.samples_per_pixel
-    want = film.err >= tolerance
+    want = (film.err >= tolerance) | reprobe
     spp_map = shuffle_blocks(jnp.where(want, spp, 0).astype(jnp.int32),
                              config, fill=0)
     r, g, b, depth, segs = render_tiles(
@@ -76,8 +81,10 @@ def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
              + jnp.abs(new_mean.z - old_mean.z)) * (1.0 / 3.0)
     rel = delta / (lum + 0.05)
     # First pass (n_samples == 0): keep err at +inf so EVERY pixel gets a
-    # second look; afterwards shrink with accumulated evidence — disagreement
-    # between a k-sample pass and an m-sample history scales ~1/sqrt(total).
+    # second look; afterwards err holds the RAW latest inter-pass relative
+    # disagreement (no accumulated-evidence scaling — for converging pixels
+    # the pass-vs-history delta shrinks on its own as the history tightens,
+    # and periodic ``reprobe`` passes re-measure pixels that stopped early).
     seen = film.n_samples > 0.0
     err = jnp.where(want & seen, rel, film.err)
     err = jnp.where(want & ~seen, jnp.inf, err)
@@ -106,14 +113,24 @@ class AdaptiveRenderer:
     ``tolerance``: a pixel stops sampling once its relative inter-pass
     disagreement drops BELOW this. 0 never stops any pixel (uniform
     progressive rendering).
+
+    ``reprobe_every``: every this-many passes, one pass force-samples every
+    pixel and re-measures its disagreement, so a noisy pixel that stopped on
+    one coincidentally-agreeing pass recovers instead of under-sampling
+    forever. Genuinely converged pixels re-freeze immediately (their fresh
+    disagreement lands back under tolerance), so the sample-density SHAPE is
+    unchanged — re-probe passes just add a uniform floor. 0 disables.
     """
 
-    def __init__(self, config: RenderConfig, tolerance: float = 0.02):
+    def __init__(self, config: RenderConfig, tolerance: float = 0.02,
+                 reprobe_every: int = 4):
         self.config = config
         self.tolerance = float(tolerance)
+        self.reprobe_every = int(reprobe_every)
         self.film = _new_film(config.n_pixels)
         self._fn = _jitted_pass(config, self.tolerance)
         self._sample_offset = 0
+        self._pass_count = 0
         self._pscene_cache = None
         self._sl_cache = None
         self._last_cam_key = None
@@ -121,6 +138,7 @@ class AdaptiveRenderer:
     def reset(self) -> None:
         self.film = _new_film(self.config.n_pixels)
         self._sample_offset = 0
+        self._pass_count = 0
 
     def _prepare(self, scene: SceneBuffers):
         from ..kernels.pallas.megakernel import (jitted_prepare,
@@ -152,11 +170,15 @@ class AdaptiveRenderer:
             self._last_cam_key = cam_key
         pscene = self._prepare(scene)
         sl, slmeta = self._shortlists(pscene, cam, cam_key)
+        reprobe = (self.reprobe_every > 0 and self._pass_count > 0
+                   and self._pass_count % self.reprobe_every == 0)
         self.film = self._fn(film=self.film, pscene=pscene, cam=cam,
                              frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                              sample_offset=jnp.uint32(self._sample_offset),
+                             reprobe=jnp.bool_(reprobe),
                              sl=sl, slmeta=slmeta)
         self._sample_offset += self.config.samples_per_pixel
+        self._pass_count += 1
 
     def save(self, path: str) -> None:
         """Checkpoint the adaptive state (.npz) — resumable mid-refinement."""
@@ -168,6 +190,7 @@ class AdaptiveRenderer:
                  n_samples=np.asarray(f.n_samples), err=np.asarray(f.err),
                  rays_traced=np.asarray(f.rays_traced),
                  sample_offset=np.int64(self._sample_offset),
+                 pass_count=np.int64(self._pass_count),
                  width=np.int64(self.config.width),
                  height=np.int64(self.config.height),
                  cam_key=np.asarray(self._last_cam_key or [], np.float64))
@@ -189,6 +212,9 @@ class AdaptiveRenderer:
             err=jnp.asarray(z["err"]),
             rays_traced=jnp.asarray(z["rays_traced"]))
         self._sample_offset = int(z["sample_offset"])
+        self._pass_count = (int(z["pass_count"]) if "pass_count" in z
+                            else self._sample_offset
+                            // max(self.config.samples_per_pixel, 1))
         # Resuming under the SAME camera continues; a different camera at the
         # next step() correctly resets (the film is viewpoint-specific).
         ck = z["cam_key"] if "cam_key" in z else np.array([])

@@ -11,11 +11,18 @@ samples the blend needs), depth in Bevy's reverse-Z convention
 ``near / view_z`` — the quantity the prepass texture holds and the one
 ``kernels.composite`` compares ``near / t`` against (raytrace.wgsl:105-113).
 
-Shading is a deliberate stand-in: the reference's raster colors come from Bevy's
-full PBR pass, which is out of scope; here raster entities get linear base color
-× a fixed-key-light lambert term. The blend logic consuming these buffers is the
-faithful part (pinned against the oracle); pixels the raster layer wins show
-this stand-in shading. Clear color defaults to WHITE like the reference camera
+Shading matches what Bevy actually shows for this app: the reference spawns NO
+light entities (main.rs:49-240 contains zero lights), so Bevy's PBR pass shades
+the cube with the default ambient light only. Bevy 0.14 defaults
+(Cargo.toml:7): ``AmbientLight::default()`` = white at 80 lux, and the default
+camera exposure is ``1 / (2^ev100 · 1.2)`` with ev100 = log2(f²/shutter ·
+100/ISO) = log2(1²·125) for the physical defaults (f/1.0, 1/125 s, ISO 100) —
+so the flat ambient factor is 80 / (125 · 1.2) = 0.5333. Bevy's diffuse
+ambient term multiplies base_color · (1 − metallic); its additional
+environment-specular F_ab term and occlusion are out of scope (documented
+divergence — they are small for the shipped cube: dielectric, roughness 0.5).
+The blend logic consuming these buffers is the faithful part (pinned against
+the oracle). Clear color defaults to WHITE like the reference camera
 (main.rs:60).
 """
 
@@ -34,14 +41,11 @@ from ..core.vec import Vec3
 from ..kernels.intersect import intersect_triangles
 from ..kernels.raygen import generate_rays, pixel_uv
 
-def _unit(v):
-    v = np.asarray(v, np.float64)
-    return tuple((v / np.linalg.norm(v)).astype(np.float32))
-
-
-# Fixed key light for the stand-in shading (unit vector, above-right-front).
-_KEY_LIGHT = _unit((0.4, 1.0, 0.6))
-_AMBIENT = 0.35
+# Bevy 0.14 default ambient-only shading (no lights spawned in the reference):
+# AmbientLight brightness 80 lux × default exposure 1/(125·1.2).
+_AMBIENT_LUX = 80.0
+_EXPOSURE = 1.0 / (125.0 * 1.2)
+_AMBIENT = np.float32(_AMBIENT_LUX * _EXPOSURE)   # 0.5333…
 
 
 def rasterize_impl(tris: Triangles, tri_colors: jnp.ndarray, cam: CameraState,
@@ -50,7 +54,7 @@ def rasterize_impl(tris: Triangles, tri_colors: jnp.ndarray, cam: CameraState,
 
     One un-jittered center ray per pixel (the raster sample grid); nearest
     triangle wins; depth = ``near / view_z`` (reverse-Z, 0 = clear/far).
-    ``tri_colors``: [T, 3] linear per-triangle base color.
+    ``tri_colors``: [T, 4] linear per-triangle base color + metallic.
     """
     u, v = pixel_uv(config.width, config.height)
     half = jnp.full_like(u, 0.5)          # (j - 0.5)/w == 0 → exact pixel center
@@ -61,14 +65,9 @@ def rasterize_impl(tris: Triangles, tri_colors: jnp.ndarray, cam: CameraState,
     safe_idx = jnp.clip(idx, 0, tris.capacity - 1)
     safe_t = jnp.where(hit, t, 1.0)
 
-    # Geometric normal for the stand-in lambert term.
-    a = Vec3(tris.ax[safe_idx], tris.ay[safe_idx], tris.az[safe_idx])
-    b = Vec3(tris.bx[safe_idx], tris.by[safe_idx], tris.bz[safe_idx])
-    c = Vec3(tris.cx[safe_idx], tris.cy[safe_idx], tris.cz[safe_idx])
-    n = (b - a).cross(c - a).normalize()
-    lx, ly, lz = _KEY_LIGHT
-    lambert = jnp.abs(n.x * lx + n.y * ly + n.z * lz)
-    shade = _AMBIENT + (1.0 - _AMBIENT) * lambert
+    # Bevy-default ambient-only shading (no lights in the reference scene):
+    # flat diffuse ambient = base_color · (1 − metallic) · ambient·exposure.
+    shade = _AMBIENT * (1.0 - tri_colors[safe_idx, 3])
 
     base = Vec3(tri_colors[safe_idx, 0], tri_colors[safe_idx, 1],
                 tri_colors[safe_idx, 2])

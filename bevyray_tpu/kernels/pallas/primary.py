@@ -141,6 +141,13 @@ def build_block_shortlists(sph: np.ndarray, cam, config,
     up = np.array([float(cam.up.x), float(cam.up.y), float(cam.up.z)],
                   np.float64)
     right = np.cross(fwd, up)                    # wgsl:149
+    # The frustum-plane tests below are scale-invariant (plane normals are
+    # unit-normalized from the raw corner directions, which are exact for the
+    # raw basis), but the behind-lens / defocus tests project oc onto FWD and
+    # compare against world-unit margins — those need a unit axis, or a
+    # non-unit hand-built camera basis (camera_state validation is
+    # deliberately scale-invariant) silently shrinks the margin by 1/|fwd|.
+    fwd_u = fwd / np.linalg.norm(fwd)
     scale = float(np.tan(float(cam.fov) * 0.5))
     aspect = float(cam.aspect)
     w, h = config.width, config.height
@@ -153,7 +160,7 @@ def build_block_shortlists(sph: np.ndarray, cam, config,
     if config.defocus and float(cam.aperture) > 0.0:
         lens_r = 0.5 * float(cam.aperture)
         focus = max(float(cam.focus_distance), 1e-6)
-        d_fwd = oc @ fwd
+        d_fwd = oc @ fwd_u
         t_par = np.maximum((d_fwd + r) / focus, 1.0)
         r_eff = r + lens_r * t_par
 
@@ -198,7 +205,7 @@ def build_block_shortlists(sph: np.ndarray, cam, config,
                 n = -n
             n /= np.linalg.norm(n)
             inside &= (oc @ n) >= -(r_eff + lens_r + fp_eps)
-        inside &= (oc @ fwd) >= -(r_eff + lens_r + fp_eps)  # behind the lens
+        inside &= (oc @ fwd_u) >= -(r_eff + lens_r + fp_eps)  # behind the lens
         idx = np.nonzero(inside)[0]
         idx = idx[np.argsort(order_key[idx], kind="stable")]
         counts[k] = idx.size

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from collections import OrderedDict
 from typing import Optional
 
 import jax
@@ -275,9 +276,12 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     return step
 
 
-# Shortlist cache for the sharded front-end (single slot — frame loops reuse
-# one scene/camera; ``leaves`` keeps the id()s unique while cached).
-_SHARDED_SL_CACHE: dict = {}
+# Shortlist cache for the sharded front-end: a small keyed LRU, so alternating
+# scenes/cameras through the sharded step (multi-view loops) hit the cache both
+# ways. ``leaves`` rides in each entry to keep its id()-based key unique while
+# cached (id()s are only unique among live objects).
+_SHARDED_SL_CACHE: "OrderedDict" = OrderedDict()
+_SHARDED_SL_CACHE_MAX = 8
 
 
 def _pallas_scene_key(scene: SceneBuffers, cam: CameraState,
@@ -310,9 +314,10 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
     from ..kernels.pallas.megakernel import block_grid, jitted_prepare
     from ..kernels.pallas.primary import shortlists_for
     key, leaves = _pallas_scene_key(scene, cam, config, sp, dp)
-    cached = _SHARDED_SL_CACHE.get("entry")
-    if cached is not None and cached[0] == key:
-        sl, slmeta = cached[2]
+    cached = _SHARDED_SL_CACHE.get(key)
+    if cached is not None:
+        _SHARDED_SL_CACHE.move_to_end(key)
+        sl, slmeta = cached[1]
     else:
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
@@ -323,6 +328,8 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         if sl_np is not None:
             sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
             slmeta = jnp.asarray(slmeta_np)
-        _SHARDED_SL_CACHE["entry"] = (key, leaves, (sl, slmeta))
+        _SHARDED_SL_CACHE[key] = (leaves, (sl, slmeta))
+        while len(_SHARDED_SL_CACHE) > _SHARDED_SL_CACHE_MAX:
+            _SHARDED_SL_CACHE.popitem(last=False)
     return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,
                 sl=sl, slmeta=slmeta)

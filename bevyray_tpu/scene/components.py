@@ -126,20 +126,59 @@ class StandardMaterial:
 
 @dataclasses.dataclass
 class Transform:
-    """Minimal transform: translation + orthonormal basis (forward/up).
+    """Transform: translation + orthonormal basis (forward/up) + rotation.
 
-    The reference extracts exactly translation(), forward(), up() from Bevy's
-    GlobalTransform (extract.rs:130-132); spheres use translation only
-    (extract.rs:173-178).
+    The reference's camera extraction reads exactly translation(), forward(),
+    up() from Bevy's GlobalTransform (extract.rs:130-132) — the forward/up
+    fields mirror that. ``rotation`` is a unit quaternion (x, y, z, w — Bevy's
+    glam ``Quat`` layout, identity default) applied by MESH entities so
+    raster/traced meshes can be arbitrarily posed, like the reference's cube
+    could be through the gizmo (main.rs:76-85). Spheres stay translation-only,
+    faithfully (extract.rs:173-178).
     """
 
     translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     forward: Tuple[float, float, float] = (0.0, 0.0, -1.0)
     up: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    rotation: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
 
     @staticmethod
     def from_xyz(x: float, y: float, z: float) -> "Transform":
         return Transform(translation=(x, y, z))
+
+    def with_rotation(self, rotation) -> "Transform":
+        """This transform with ``rotation`` (unit quaternion x, y, z, w)."""
+        q = np.asarray(rotation, np.float64)
+        q = q / np.linalg.norm(q)
+        return dataclasses.replace(self, rotation=tuple(float(v) for v in q))
+
+    @staticmethod
+    def rotation_axis_angle(axis, angle: float):
+        """Unit quaternion (x, y, z, w) for ``angle`` radians about ``axis`` —
+        Bevy's ``Quat::from_axis_angle``."""
+        a = np.asarray(axis, np.float64)
+        a = a / np.linalg.norm(a)
+        s = math.sin(angle / 2.0)
+        return (float(a[0] * s), float(a[1] * s), float(a[2] * s),
+                float(math.cos(angle / 2.0)))
+
+    def rotation_matrix(self) -> "np.ndarray":
+        """3×3 rotation matrix of ``rotation`` (rows act on column vectors)."""
+        x, y, z, w = self.rotation
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ], np.float64)
+
+    def apply_points(self, pts: "np.ndarray") -> "np.ndarray":
+        """Object-space [N, 3] points → world space (rotate, then translate).
+        The identity rotation takes the exact add-only path, so existing
+        axis-aligned scenes are bit-identical to the pre-rotation extractor."""
+        pts = np.asarray(pts, np.float32)
+        if self.rotation != (0.0, 0.0, 0.0, 1.0):
+            pts = (pts @ self.rotation_matrix().T.astype(np.float32))
+        return pts + np.asarray(self.translation, np.float32)
 
     def looking_at(self, target, up=(0.0, 1.0, 0.0)) -> "Transform":
         """Bevy ``Transform::looking_at`` semantics: forward towards target, up
@@ -155,6 +194,7 @@ class Transform:
             translation=tuple(float(v) for v in eye),
             forward=tuple(float(v) for v in fwd),
             up=tuple(float(v) for v in true_up),
+            rotation=self.rotation,
         )
 
 

@@ -156,15 +156,15 @@ class World:
     def extract_meshes_host(self, first_material_id: int):
         """Flatten live meshes to world-space corner arrays + material records.
 
-        World-space = object vertices + translation (the reference extracts
-        translation only for primitives too, extract.rs:173-178)."""
+        World-space = rotation · object vertices + translation (Bevy extracts
+        the full GlobalTransform for meshes; SPHERES stay translation-only,
+        faithfully — extract.rs:173-178)."""
         a, b, c, mids, mats = [], [], [], [], []
         next_mid = first_material_id
         for t, mesh, mat, alive in self._meshes:
             if not alive:
                 continue
-            v = np.asarray(mesh.vertices, np.float32) + np.asarray(
-                t.translation, np.float32)
+            v = t.apply_points(np.asarray(mesh.vertices, np.float32))
             f = np.asarray(mesh.indices, np.int32)
             a.append(v[f[:, 0]])
             b.append(v[f[:, 1]])
@@ -178,19 +178,19 @@ class World:
                 np.concatenate(mids), np.stack(mats, 0))
 
     def extract_raster_host(self):
-        """Flatten live raster-only entities to world-space corner arrays plus a
-        per-triangle linear base color. Returns None when there are none."""
+        """Flatten live raster-only entities to world-space corner arrays plus
+        per-triangle [linear base color, metallic] rows (what the ambient-only
+        raster shading consumes). Returns None when there are none."""
         a, b, c, colors = [], [], [], []
         for t, mesh, mat, alive in self._raster:
             if not alive:
                 continue
-            v = np.asarray(mesh.vertices, np.float32) + np.asarray(
-                t.translation, np.float32)
+            v = t.apply_points(np.asarray(mesh.vertices, np.float32))
             f = np.asarray(mesh.indices, np.int32)
             a.append(v[f[:, 0]])
             b.append(v[f[:, 1]])
             c.append(v[f[:, 2]])
-            colors.append(np.tile(mat.to_record()[:3], (f.shape[0], 1)))
+            colors.append(np.tile(mat.to_record()[:4], (f.shape[0], 1)))
         if not a:
             return None
         return (np.concatenate(a), np.concatenate(b), np.concatenate(c),

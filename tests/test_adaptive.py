@@ -35,7 +35,9 @@ def test_adaptive_stops_converged_pixels_and_stays_unbiased():
     scene, cam = _scene()
     cfg = RenderConfig(width=64, height=64, samples_per_pixel=2, bounces=3,
                        level=3)
-    adap = AdaptiveRenderer(cfg, tolerance=0.05)
+    # reprobe_every=0: this test pins the PURE stop-on-converged accounting
+    # (re-probe recovery has its own tests below).
+    adap = AdaptiveRenderer(cfg, tolerance=0.05, reprobe_every=0)
     for i in range(5):
         adap.step(scene, cam, seed=i)
     counts = adap.samples_map()
@@ -47,7 +49,7 @@ def test_adaptive_stops_converged_pixels_and_stays_unbiased():
     assert adap.converged_fraction() > 0.2
 
     # Fewer rays than uniform for the same pass count...
-    uni = AdaptiveRenderer(cfg, tolerance=0.0)
+    uni = AdaptiveRenderer(cfg, tolerance=0.0, reprobe_every=0)
     for i in range(5):
         uni.step(scene, cam, seed=i)
     assert (float(adap.film.rays_traced)
@@ -128,3 +130,60 @@ def test_camera_change_resets_film_and_shortlists():
     fresh.step(scene, cam_b, seed=0)
     np.testing.assert_array_equal(np.asarray(moved.resolve(cam_b).image),
                                   np.asarray(fresh.resolve(cam_b).image))
+
+
+def test_reprobe_recovers_artificially_frozen_pixels():
+    # A pixel whose pass once agreed by chance must not under-sample forever:
+    # the periodic re-probe pass force-samples stopped pixels and folds the new
+    # disagreement into err, un-freezing any that were still noisy.
+    import jax.numpy as jnp
+
+    scene, cam = _scene()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=2, bounces=3,
+                       level=3)
+    adap = AdaptiveRenderer(cfg, tolerance=0.05, reprobe_every=2)
+    adap.step(scene, cam, seed=0)
+    adap.step(scene, cam, seed=1)
+    # Artificially freeze EVERY pixel (as if each had one lucky agreeing pass).
+    adap.film = adap.film._replace(err=jnp.zeros_like(adap.film.err))
+    assert adap.converged_fraction() == 1.0
+    before = adap.samples_map().copy()
+
+    adap.step(scene, cam, seed=2)   # _pass_count == 2 → re-probe pass
+    after = adap.samples_map()
+    # Everything re-sampled once...
+    np.testing.assert_array_equal(after, before + cfg.samples_per_pixel)
+    # ...and the genuinely noisy pixels recovered (err re-measured above
+    # tolerance), while converged ones re-froze.
+    frac = adap.converged_fraction()
+    assert 0.01 < 1.0 - frac, "no pixel un-froze — recovery is broken"
+    assert frac > 0.05, "re-probe should re-freeze genuinely converged pixels"
+
+    # The next (non-reprobe) pass samples exactly the recovered pixels.
+    adap.step(scene, cam, seed=3)
+    sampled = adap.samples_map() - after
+    recovered = 1.0 - frac
+    got = (sampled > 0).mean()
+    np.testing.assert_allclose(got, recovered, atol=1e-6)
+
+
+def test_reprobe_keeps_density_shape_on_converged_scene():
+    # On a scene that is genuinely converged (sky-only view: every pass agrees
+    # to within tolerance) the re-probe must add only a uniform sample floor —
+    # the allocation SHAPE (all-equal) is unchanged.
+    from bevyray_tpu.scene.components import Transform
+    from bevyray_tpu.scene.world import World
+
+    world = World()                     # no entities: pure sky gradient
+    world.set_camera(Transform.from_xyz(0.0, 0.0, 0.0).looking_at((0, 0, -1)))
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=2,
+                       level=3)
+    adap = AdaptiveRenderer(cfg, tolerance=0.05, reprobe_every=2)
+    for i in range(5):                  # passes 2 and 4 are re-probes
+        adap.step(scene, cam, seed=i)
+    counts = adap.samples_map()
+    assert counts.min() == counts.max()   # uniform: warmup+2nd look+2 reprobes
+    assert counts.max() == 4 * cfg.samples_per_pixel
+    assert adap.converged_fraction() == 1.0

@@ -31,8 +31,36 @@ def test_cli_bench_json(capsys):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert {"metric", "value", "unit", "p50_frame_ms"} <= set(rec)
+    assert {"metric", "value", "unit", "p50_frame_ms", "rays_per_frame"} <= set(rec)
     assert rec["value"] > 0
+    # Methodology parity with bench.py: the throughput numerator is the mean
+    # ray count of the TIMED frames (seeds 1..N), never the warmup frame's.
+    np.testing.assert_allclose(
+        rec["value"], rec["rays_per_frame"] / rec["p50_frame_ms"] / 1e3,
+        rtol=0.02, atol=0.006)   # value/p50 are rounded to 2 decimals
+
+
+def test_cli_bench_rays_come_from_timed_frames(capsys, monkeypatch):
+    # Per-seed path lengths differ; the JSON's rays_per_frame must be the mean
+    # over the timed seeds (1..frames), not the warmup seed 0 count.
+    from bevyray_tpu.engine import renderer as renderer_mod
+
+    seen = {}
+    real_render = renderer_mod.Renderer.render
+
+    def spy(self, scene, cam, seed=0, **kw):
+        frame = real_render(self, scene, cam, seed=seed, **kw)
+        seen[seed] = float(frame.rays_traced)
+        return frame
+
+    monkeypatch.setattr(renderer_mod.Renderer, "render", spy)
+    rc = main(["bench", "--scene", "material", "--width", "32", "--height",
+               "32", "--spp", "2", "--bounces", "4", "--frames", "3",
+               "--backend", "brute"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    timed = [seen[s] for s in (1, 2, 3)]
+    assert rec["rays_per_frame"] == int(np.mean(timed))
 
 
 def test_cli_render_pallas_backend(tmp_path):

@@ -131,3 +131,93 @@ def test_final_scene_has_the_cube():
     assert world.n_raster == 1
     data = world.extract_raster_host()
     assert data[0].shape == (12, 3)   # 12 triangles
+
+
+def test_ambient_only_shading_golden():
+    """The reference app spawns NO lights (main.rs:49-240), so Bevy shades its
+    cube with the default ambient only. Pin the chosen convention: flat
+    linear(base) · (1 − metallic) · 80/(125·1.2) — Bevy 0.14 AmbientLight
+    default (80 lux, white) × default exposure."""
+    from bevyray_tpu.scene.components import srgb_to_linear
+
+    world = _cube_world()
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=1,
+                       level=1)
+    color, depth = raster_layer(world, world.camera_state(aspect=1.0), cfg)
+    hit = np.asarray(depth) > 0
+    assert hit.any()
+    ambient = np.float32(80.0 / (125.0 * 1.2))
+    for comp, srgb in zip((color.x, color.y, color.z), (0.8, 0.7, 0.6)):
+        want = np.float32(np.float32(srgb_to_linear(srgb)) * ambient)
+        got = np.unique(np.asarray(comp)[hit])
+        np.testing.assert_allclose(got, [want], rtol=1e-6)
+    # metallic scales the ambient term down (Bevy's diffuse ambient is
+    # base · (1 − metallic)): a half-metallic cube is exactly half as bright.
+    world2 = World()
+    world2.set_camera(Transform.from_xyz(0.0, 1.0, 4.0).looking_at((0.0, 0.5, 0.0)))
+    world2.spawn_raster_mesh(Transform.from_xyz(0.0, 0.5, 0.0), cube_mesh(1.0),
+                             StandardMaterial(base_color=(0.8, 0.7, 0.6),
+                                              metallic=0.5))
+    c2, d2 = raster_layer(world2, world2.camera_state(aspect=1.0), cfg)
+    hit2 = np.asarray(d2) > 0
+    np.testing.assert_allclose(np.asarray(c2.x)[hit2],
+                               np.asarray(color.x)[hit] .max() * 0.5, rtol=1e-6)
+
+
+def test_transform_rotation_roundtrip():
+    """Quaternion rotation on mesh entities: axis-angle → matrix → apply is
+    length-preserving and inverts exactly; the identity takes the bit-exact
+    add-only path."""
+    t = Transform.from_xyz(1.0, 2.0, 3.0).with_rotation(
+        Transform.rotation_axis_angle((0.0, 1.0, 0.0), np.pi / 3))
+    pts = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.3, -0.2, 0.7]],
+                   np.float32)
+    out = t.apply_points(pts)
+    # Rotation preserves distances from the translation point.
+    np.testing.assert_allclose(
+        np.linalg.norm(out - np.array(t.translation, np.float32), axis=1),
+        np.linalg.norm(pts, axis=1), rtol=1e-6)
+    # Inverse rotation recovers the object-space points.
+    r = t.rotation_matrix()
+    back = (out - np.array(t.translation, np.float32)) @ np.asarray(
+        r, np.float32)   # R⁻¹ = Rᵀ; right-multiply by R == apply Rᵀ
+    np.testing.assert_allclose(back, pts, atol=1e-6)
+
+    # Identity rotation: bit-identical to pure translation.
+    ti = Transform.from_xyz(1.0, 2.0, 3.0)
+    np.testing.assert_array_equal(
+        ti.apply_points(pts), pts + np.array([1, 2, 3], np.float32))
+
+    # with_rotation normalizes.
+    tn = Transform().with_rotation((0.0, 2.0, 0.0, 0.0))
+    assert np.isclose(np.linalg.norm(tn.rotation), 1.0)
+
+
+def test_rotated_raster_cube_changes_silhouette():
+    """A 45°-about-Y cube shows a wider silhouette than the axis-aligned one,
+    and the traced-mesh extractor applies the same rotation."""
+    def cube_world(rot):
+        w = World()
+        w.set_camera(Transform.from_xyz(0.0, 0.5, 4.0).looking_at((0.0, 0.5, 0.0)))
+        t = Transform.from_xyz(0.0, 0.5, 0.0)
+        if rot is not None:
+            t = t.with_rotation(rot)
+        w.spawn_raster_mesh(t, cube_mesh(1.0), StandardMaterial())
+        return w
+
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=1,
+                       level=1)
+    q = Transform.rotation_axis_angle((0.0, 1.0, 0.0), np.pi / 4)
+    _, d0 = raster_layer(cube_world(None), cube_world(None).camera_state(1.0), cfg)
+    _, d1 = raster_layer(cube_world(q), cube_world(q).camera_state(1.0), cfg)
+    cover0 = (np.asarray(d0) > 0).mean()
+    cover1 = (np.asarray(d1) > 0).mean()
+    assert cover1 > cover0 * 1.05   # diagonal spans √2 of the face width
+
+    # Traced meshes rotate identically (same extractor path).
+    wt = World()
+    wt.spawn_mesh(Transform.from_xyz(0.0, 0.5, 0.0).with_rotation(q),
+                  cube_mesh(1.0), StandardMaterial())
+    va, vb, vc, _, _ = wt.extract_meshes_host(first_material_id=0)
+    corners = np.concatenate([va, vb, vc])
+    assert np.isclose(np.abs(corners[:, 0]).max(), np.sqrt(2) / 2, atol=1e-5)

@@ -82,6 +82,37 @@ def test_default_mesh_shape():
         assert sp * dp * tp == n
 
 
+def test_sharded_shortlist_cache_lru(world_and_scene, monkeypatch):
+    """Alternating two cameras through the sharded megakernel must hit the
+    shortlist cache both ways (the old single-slot cache rebuilt every frame)."""
+    from bevyray_tpu.kernels.pallas import primary
+    from bevyray_tpu.parallel import sharding
+    from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
+    from bevyray_tpu.scene.components import Transform
+
+    world, scene, cam_a = world_and_scene
+    world.set_camera(Transform.from_xyz(2.0, 1.5, 6.0).looking_at((0, 0.5, 0)))
+    cam_b = world.camera_state(aspect=1.0)
+
+    builds = []
+    real = primary.shortlists_for
+
+    def spy(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(primary, "shortlists_for", spy)
+    monkeypatch.setattr(sharding, "shortlists_for", spy, raising=False)
+    sharding._SHARDED_SL_CACHE.clear()
+
+    cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=2,
+                       level=3)
+    mesh = make_mesh(2, 2, 1)
+    for seed, cam in enumerate([cam_a, cam_b, cam_a, cam_b, cam_a]):
+        render_frame_sharded_pallas(mesh, scene, cam, cfg, frame_seed=seed)
+    assert len(builds) == 2, f"expected one build per camera, got {len(builds)}"
+
+
 def test_sharded_per_pixel_raster_inputs(world_and_scene):
     """Per-pixel raster color/depth arrays (the hybrid G-buffer case) must work
     through both sharded steps — composite runs outside shard_map, so the
