@@ -193,7 +193,9 @@ class ProgressiveRenderer:
             sid, leaves = pscene_cache_key(scene)
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
                 self._prepare_cache = (sid, leaves,
-                                       jax.jit(prepare_pallas_scene)(scene))
+                                       jax.jit(functools.partial(
+                                           prepare_pallas_scene,
+                                           cand_size=self.config.pallas_cand_size))(scene))
                 self._sl_cache = None
             pscene = self._prepare_cache[2]
             # Host-built primary shortlists for phase-split bounce 0 (cached;

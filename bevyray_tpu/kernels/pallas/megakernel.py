@@ -500,11 +500,16 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
 
 
 # Bit masks for the lowest-set-bit → index extraction (i32; bit 31 unused, so
-# group counts on this path are capped at 31 and the top pattern stays positive).
+# each mask WORD holds 31 group bits and stays positive).
 _LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
                       (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00,
                        0x7FFF0000))
-MAX_CAND_GROUPS = 31
+# Per-lane candidate masks are TWO i32 words (groups 0-30 in word 0, 31-61 in
+# word 1): 62 groups before the builder has to coarsen group size — half the
+# per-lane culling granularity loss of the round-2 single-word cap at any
+# given scene size (VERDICT r2 items 1a/3).
+MAX_CAND_GROUPS = 62
+CAND_UNIT = 16   # finest candidate-group size (and its required multiple)
 
 
 def _lsb_index(lsb):
@@ -533,7 +538,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
     value-identical; only the visit SET differs, and the slab test is
     conservative (a hittable sphere's group box is always entered).
 
-    Effective tests drop from n_spheres to ~(mean groups entered)·GROUP per
+    Effective tests drop from n_spheres to ~(mean groups entered)·gc per
     segment even for bounce-incoherent rays, where tile-unanimous culling
     saves nothing (measured ~5%).
     """
@@ -547,25 +552,30 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
     q_min = a * T_MIN
 
     # Candidate-group geometry (must mirror prepare_pallas_scene): gc spheres
-    # per group in gc/GROUP chunk-major 32-sphere blocks; for gc > GROUP the
-    # group AABBs live in extra gaabb columns after [groups | supergroups].
+    # per group in chunk-major blocks (chunk = GROUP, or CAND_UNIT for the
+    # fine sub-GROUP size); unless gc == GROUP (base boxes reused), the group
+    # AABBs live in extra gaabb columns after [groups | supergroups].
     gc = grp_table.shape[0] // 4
-    n_chunks = gc // GROUP
+    chunk = GROUP if gc % GROUP == 0 else CAND_UNIT
+    n_chunks = gc // chunk
     n32 = n_spheres // GROUP
-    n_cand = -(-n32 // n_chunks)
+    n_cand = -(-n_spheres // gc)
     assert n_cand <= MAX_CAND_GROUPS
-    if n_chunks == 1:
+    if gc == GROUP:
         cand_off = 0
     else:
         n_super = -(-n32 // SUPER) if n32 >= 4 * SUPER else 0
         cand_off = n32 + n_super
     g_pad = grp_table.shape[1] // 3
 
-    # ---- phase A: per-lane candidate bitmask (slab test per group AABB) ----
+    # ---- phase A: per-lane candidate bitmasks (slab test per group AABB) ---
+    # TWO i32 words per lane: groups 0-30 in word 0, 31-61 in word 1 (bit 31
+    # of each word stays clear so the values remain positive).
     def build_mask(best_q):
         """Bit g set iff group g's AABB is entered ahead of the lane's current
         best hit (a·t_near rescale as in _intersect_grouped)."""
-        mask = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        mask0 = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        mask1 = jnp.zeros((TILE_SUB, 128), jnp.int32)
         for g in range(n_cand):
             col = cand_off + g
             tx1 = (gaabb_ref[0, col] - ox) * idx
@@ -581,57 +591,68 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                                             jnp.maximum(ty1, ty2)),
                                 jnp.maximum(tz1, tz2))
             useful = (t_far >= t_near) & (t_far > 0.0) & (a * t_near < best_q)
-            mask = mask | jnp.where(useful, jnp.int32(1 << g), 0)
-        return jnp.where(active, mask, 0)
+            bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
+            if g < 31:
+                mask0 = mask0 | bit
+            else:
+                mask1 = mask1 | bit
+        return (jnp.where(active, mask0, 0), jnp.where(active, mask1, 0))
 
-    mask = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
+    mask0, mask1 = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
 
     # Group ids repeated for the hi|mid|lo column blocks (static concat — no
     # vector modulo, which Mosaic lowers poorly).
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 128), 0)
     iota_g3 = jnp.concatenate([iota_g, iota_g, iota_g], axis=0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 128), 0)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
 
     best_q = jnp.full((TILE_SUB, 128), INF, jnp.float32)
     best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
 
     def walk_cond(carry):
-        return jnp.max(carry[0]) > 0
+        return jnp.max(carry[0] | carry[1]) > 0
 
     def walk_body(carry):
-        mask, bq, bi = carry
+        mask0, mask1, bq, bi = carry
         # One candidate step for every lane: extract each lane's lowest-set
-        # group id tile-wide, gather ALL rows' candidate groups with a single
-        # batched matmul (32 per-row matmuls measured 6× slower: per-issue
-        # overhead + per-row (128,128) accumulator streaming dominated), then
-        # test per row against register-resident (GROUP, 128) slices.
-        lsb = mask & (-mask)
-        g_lane = _lsb_index(lsb)                              # (TILE_SUB, 128)
+        # group id tile-wide (word 0 first — ascending group order keeps the
+        # brute walk's index-ordered tie-keeping), gather ALL rows' candidate
+        # groups with a single batched matmul (32 per-row matmuls measured 6×
+        # slower: per-issue overhead + per-row (128,128) accumulator streaming
+        # dominated), then test per row against register-resident (chunk, 128)
+        # slices.
+        use0 = mask0 > 0
+        word = jnp.where(use0, mask0, mask1)
+        lsb = word & (-word)
+        # Exhausted lanes (both words 0) land on group 0 — a harmless re-test
+        # (every sphere lies inside its group box, so the lane either
+        # reproduces its old q and loses the strict < tie, or rejects again).
+        g_lane = _lsb_index(lsb) + jnp.where(use0 | (word == 0), 0, 31)
         onehot = jnp.concatenate(
             [(iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
              for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
 
         rows_q = [bq[r:r + 1, :] for r in range(TILE_SUB)]
         rows_i = [bi[r:r + 1, :] for r in range(TILE_SUB)]
-        # One matmul per 32-sphere chunk of the candidate group (chunk-major
-        # table rows), reusing the step's one-hot — keeps the accumulator at
-        # (128, T·128) regardless of gc. All rows are tested unconditionally:
-        # a per-row lax.cond captures the accumulator as a branch operand and
-        # round-trips it through VMEM 32× per step (measured 5×); exhausted
-        # lanes (mask 0) harmlessly re-test group 0 — every sphere lies inside
-        # its group box, so a lane that never set bit 0 gets qv = INF, and one
-        # that did reproduces its old q and loses the strict < tie.
+        # One matmul per chunk of the candidate group (chunk-major table
+        # rows), reusing the step's one-hot — keeps the accumulator at
+        # (4·chunk, T·128) regardless of gc. All rows are tested
+        # unconditionally: a per-row lax.cond captures the accumulator as a
+        # branch operand and round-trips it through VMEM 32× per step
+        # (measured 5×).
+        rows_per_chunk = 4 * chunk
         for c in range(n_chunks):
-            acc = jnp.dot(grp_table[c * 128:(c + 1) * 128, :], onehot,
-                          preferred_element_type=jnp.float32)  # (128, T·128)
+            acc = jnp.dot(
+                grp_table[c * rows_per_chunk:(c + 1) * rows_per_chunk, :],
+                onehot, preferred_element_type=jnp.float32)   # (4·chunk, T·128)
             for r in range(TILE_SUB):
                 sl = slice(r * 128, (r + 1) * 128)
-                cx = acc[0 * GROUP:1 * GROUP, sl]
-                cy = acc[1 * GROUP:2 * GROUP, sl]
-                cz = acc[2 * GROUP:3 * GROUP, sl]
-                r2 = acc[3 * GROUP:4 * GROUP, sl]
+                cx = acc[0 * chunk:1 * chunk, sl]
+                cy = acc[1 * chunk:2 * chunk, sl]
+                cz = acc[2 * chunk:3 * chunk, sl]
+                r2 = acc[3 * chunk:4 * chunk, sl]
                 # Same test arithmetic as _intersect_grouped.one_sphere, with
-                # the row's ray data broadcast over the GROUP sublane-spheres.
+                # the row's ray data broadcast over the chunk sublane-spheres.
                 ocx = cx - ox[r:r + 1, :]
                 ocy = cy - oy[r:r + 1, :]
                 ocz = cz - oz[r:r + 1, :]
@@ -646,12 +667,12 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                     q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
                     ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
                 qv = jnp.where(ok, q, INF)
-                iv = (g_lane[r:r + 1, :] * gc + (c * GROUP)
-                      + iota_k)                               # (GROUP, 128)
+                iv = (g_lane[r:r + 1, :] * gc + (c * chunk)
+                      + iota_k)                               # (chunk, 128)
                 # Tree-reduce over the sphere sublanes; strict < keeps the
                 # lower-k (earlier) sphere on ties, and ascending chunk order
                 # keeps earlier chunks, matching the brute walk's order.
-                w = GROUP
+                w = chunk
                 while w > 1:
                     w //= 2
                     take = qv[w:2 * w] < qv[:w]
@@ -667,11 +688,13 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
         # at 1080p/16spp) — the per-step slab recompute's SMEM scalar traffic
         # exceeds what pruning saves, because the while loop is bound by the
         # straggler LANE's candidate count, which pruning rarely shortens.
-        return (mask & (mask - 1), jnp.concatenate(rows_q, axis=0),
+        new_mask0 = mask0 & (mask0 - 1)
+        new_mask1 = jnp.where(use0, mask1, mask1 & (mask1 - 1))
+        return (new_mask0, new_mask1, jnp.concatenate(rows_q, axis=0),
                 jnp.concatenate(rows_i, axis=0))
 
-    _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body,
-                                           (mask, best_q, best_i))
+    _, _, best_q, best_i = jax.lax.while_loop(
+        walk_cond, walk_body, (mask0, mask1, best_q, best_i))
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i
 
@@ -725,6 +748,14 @@ def _intersect_triangles_scalar(origin: Vec3, direction: Vec3, tri_ref,
     return jax.lax.fori_loop(0, n_tris // unroll, body, (best_t, best_i))
 
 
+GATHER_BATCHED = False   # A/B probe: one concat one-hot + one matmul instead
+                         # of TILE_SUB per-row matmuls (bit-identical outputs)
+_DEBUG_DOUBLE_GATHER = False   # timing ablation: run a second, CSE-proof
+                               # attribute gather per bounce and fold it in at
+                               # 1e-30 weight — the frame-time delta IS the
+                               # gather cost (path structure unchanged)
+
+
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     """Winning-primitive attributes for every ray via one-hot MXU matmuls.
 
@@ -736,15 +767,27 @@ def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
     come back zero.
     """
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (n_spheres_padded, 128), 0)
-    outs = []
-    for r in range(TILE_SUB):
-        onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)   # (S, 128)
-        outs.append(jnp.dot(attr_table, onehot,
-                            preferred_element_type=jnp.float32))   # (N_ATTR, 128)
+    if GATHER_BATCHED:
+        onehot = jnp.concatenate(
+            [(iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)
+             for r in range(TILE_SUB)], axis=1)                 # (S, T·128)
+        acc = jnp.dot(attr_table, onehot,
+                      preferred_element_type=jnp.float32)       # (N_ATTR, T·128)
 
-    def assemble(row):
-        return jnp.concatenate([outs[r][row:row + 1, :]
-                                for r in range(TILE_SUB)], axis=0)      # (8, 128)
+        def assemble(row):
+            return jnp.concatenate(
+                [acc[row:row + 1, r * 128:(r + 1) * 128]
+                 for r in range(TILE_SUB)], axis=0)             # (T, 128)
+    else:
+        outs = []
+        for r in range(TILE_SUB):
+            onehot = (iota_s == best_i[r:r + 1, :]).astype(jnp.bfloat16)  # (S, 128)
+            outs.append(jnp.dot(attr_table, onehot,
+                                preferred_element_type=jnp.float32))  # (N_ATTR, 128)
+
+        def assemble(row):
+            return jnp.concatenate([outs[r][row:row + 1, :]
+                                    for r in range(TILE_SUB)], axis=0)  # (T, 128)
 
     center = Vec3(*(assemble(_C_HI + k) + assemble(_C_LO + k) for k in range(3)))
     mats = [assemble(_M_HI + k) + assemble(_M_LO + k) for k in range(N_MAT)]
@@ -875,6 +918,13 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
         center, mats = _gather_attrs(idx, attr_table,
                                      n_spheres_padded + n_tris_padded)
+        if _DEBUG_DOUBLE_GATHER:
+            # Perturbed index defeats CSE; 1e-30 weight leaves images and
+            # control flow untouched at timing precision.
+            c2, m2 = _gather_attrs(jnp.maximum(idx - 1, 0), attr_table,
+                                   n_spheres_padded + n_tris_padded)
+            radiance = radiance + Vec3(c2.x + m2[0], c2.y + m2[1],
+                                       c2.z + m2[2]).scale(1e-30)
         safe_t = jnp.where(miss, 0.0, t)
         position = o + d.scale(safe_t)
         # Rows 0-2 of the attr table hold the sphere CENTER for spheres and
@@ -1222,9 +1272,20 @@ def pscene_cache_key(scene: SceneBuffers):
     return tuple(id(x) for x in leaves), leaves
 
 
-def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
+def _auto_cand_size(s: int) -> int:
+    """Candidate-group size for ``s`` padded spheres: GROUP-granular, the
+    smallest multiple keeping the group count within the two-word mask."""
+    return GROUP * (-(-(s // GROUP) // MAX_CAND_GROUPS))
+
+
+def prepare_pallas_scene(scene: SceneBuffers,
+                         cand_size: int = 0) -> PallasScene:
     """Resolve material indirection to a dense per-primitive table and split
     bf16x2.
+
+    ``cand_size``: candidate-walk group size in spheres (a CAND_UNIT multiple;
+    0 = the :func:`_auto_cand_size` rule). Static — it shapes the gather
+    table layout the kernel compiles against.
 
     Runs once per scene revision (jit-cached by shapes); the reference re-uploads
     equivalent tables every frame (extract.rs:334-336) — here they persist.
@@ -1339,18 +1400,23 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
              jnp.concatenate([gmax_f, smax], axis=1)], axis=0)
 
     # ---- candidate-walk tables ------------------------------------------------
-    # Candidate groups are GROUP·m spheres so the per-lane bitmask fits an i32
-    # for ANY scene size; their gather table is CHUNK-MAJOR — rows
-    # [chunk c][attr a][k] = c·128 + a·32 + k — so the kernel gathers and tests
-    # one 32-sphere register block at a time (a full (4·gc, N) f32 accumulator
+    # Candidate groups are ``gc`` spheres (a CAND_UNIT multiple; the auto rule
+    # keeps the per-lane two-word bitmask within MAX_CAND_GROUPS for ANY scene
+    # size); their gather table is CHUNK-MAJOR — rows [chunk c][attr a][k] =
+    # c·4·chunk + a·chunk + k — so the kernel gathers and tests one
+    # chunk-sphere register block at a time (a full (4·gc, N) f32 accumulator
     # would blow VMEM at gc ≥ 256). Each group's column is split hi/mid/lo bf16
     # so the one-hot matmul's f32 accumulator reconstructs f32 values EXACTLY
     # (3×8 mantissa bits ≥ f32's 24; every partial sum of the three addends is
     # representable, so accumulation order doesn't matter).
-    m_c = -(-n_groups // MAX_CAND_GROUPS)
-    gc = GROUP * m_c
-    s_c = -(-s // gc) * gc
-    n_cand = s_c // gc
+    gc = cand_size or _auto_cand_size(s)
+    n_cand = -(-s // gc)
+    if n_cand > MAX_CAND_GROUPS:
+        raise ValueError(
+            f"pallas_cand_size={gc} needs {n_cand} candidate groups for "
+            f"{s} padded spheres — the per-lane mask holds {MAX_CAND_GROUPS}")
+    chunk = GROUP if gc % GROUP == 0 else CAND_UNIT
+    s_c = n_cand * gc
     # Tail padding duplicates sphere 0 (sph column 0 — carries the empty-scene
     # conventions too). A duplicate can only be hit when sphere 0 is, which
     # always sets candidate bit 0, and ascending visit order + strict < then
@@ -1358,7 +1424,7 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     sph_c = (sph if s_c == s else
              jnp.concatenate([sph, jnp.tile(sph[:, :1], (1, s_c - s))], axis=1))
     g_pad = max(8, -(-n_cand // 8) * 8)
-    t = sph_c.reshape(4, n_cand, gc // GROUP, GROUP)       # [a, g, c, k]
+    t = sph_c.reshape(4, n_cand, gc // chunk, chunk)       # [a, g, c, k]
     blk = t.transpose(2, 0, 3, 1).reshape(4 * gc, n_cand)  # chunk-major rows
     if g_pad > n_cand:
         blk = jnp.concatenate(
@@ -1369,20 +1435,18 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     lo = (res - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     grp = jnp.concatenate([hi, mid, lo], axis=1)
 
-    if m_c > 1:
-        # Candidate-group AABBs (unions of m_c base-group boxes, built from the
-        # pre-fill inf/-inf bounds so all-padding unions invert) appended as
-        # extra gaabb columns after [groups | supergroups].
-        # gmin/gmax may have been padded to a SUPER multiple above — slice back
-        # to the real group count before aggregating into candidate boxes.
-        base_min, base_max = gmin[:, :n_groups], gmax[:, :n_groups]
-        pad32 = n_cand * m_c - n_groups
-        cmin = (jnp.concatenate([base_min, jnp.full((3, pad32), jnp.inf)],
-                                axis=1) if pad32 else base_min)
-        cmax = (jnp.concatenate([base_max, jnp.full((3, pad32), -jnp.inf)],
-                                axis=1) if pad32 else base_max)
-        cmin = jnp.min(cmin.reshape(3, n_cand, m_c), axis=2)
-        cmax = jnp.max(cmax.reshape(3, n_cand, m_c), axis=2)
+    if gc != GROUP:
+        # Candidate-group AABBs (directly over the sphere-level pre-fill
+        # inf/-inf bounds, so all-padding groups invert) appended as extra
+        # gaabb columns after [groups | supergroups]. (gc == GROUP reuses the
+        # base group columns at offset 0 instead.)
+        pad_s = s_c - s
+        cmin = (jnp.concatenate([mins, jnp.full((3, pad_s), jnp.inf)], axis=1)
+                if pad_s else mins)
+        cmax = (jnp.concatenate([maxs, jnp.full((3, pad_s), -jnp.inf)], axis=1)
+                if pad_s else maxs)
+        cmin = jnp.min(cmin.reshape(3, n_cand, gc), axis=2)
+        cmax = jnp.max(cmax.reshape(3, n_cand, gc), axis=2)
         cempty = ~jnp.isfinite(cmin[0])
         cmin = jnp.where(cempty[None, :], 1.0, cmin)
         cmax = jnp.where(cempty[None, :], -1.0, cmax)
@@ -1392,11 +1456,13 @@ def prepare_pallas_scene(scene: SceneBuffers) -> PallasScene:
     return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri, grp=grp)
 
 
-@functools.lru_cache(maxsize=1)
-def jitted_prepare():
-    """The shared jitted prepare_pallas_scene wrapper — one jit cache for
-    every front-end (PallasRenderer, AdaptiveRenderer, the sharded step)."""
-    return jax.jit(prepare_pallas_scene)
+@functools.lru_cache(maxsize=4)
+def jitted_prepare(cand_size: int = 0):
+    """The shared jitted prepare_pallas_scene wrapper — one jit cache per
+    candidate-group size for every front-end (PallasRenderer,
+    AdaptiveRenderer, the sharded step)."""
+    return jax.jit(functools.partial(prepare_pallas_scene,
+                                     cand_size=cand_size))
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):

@@ -251,7 +251,8 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
     @jax.jit
     def step(scene, cam, frame_seed, raster_color, raster_depth,
              sl=None, slmeta=None):
-        pscene = prepare_pallas_scene(scene)
+        pscene = prepare_pallas_scene(
+            scene, cand_size=config.pallas_cand_size)
         if sl is None:
             rt, rt_depth, segs = sharded(pscene, cam, frame_seed)
         else:
@@ -321,7 +322,7 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
     else:
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
-        pscene = jitted_prepare()(scene)
+        pscene = jitted_prepare(config.pallas_cand_size)(scene)
         sl_np, slmeta_np = shortlists_for(np.asarray(pscene.sph), cam, config,
                                           local_spp, block_lo=0,
                                           n_blocks=n_blocks_padded)

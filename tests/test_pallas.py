@@ -83,6 +83,28 @@ def test_candidate_walk_bit_matches_grouped_walk():
         assert float(got.rays_traced) == float(want.rays_traced)
 
 
+def test_candidate_group_sizes_bit_identical():
+    """Candidate-group geometry is a pure perf knob: any pallas_cand_size
+    (16 = two-word fine groups, 32 = round-2 default, 64 = chunked) must
+    produce BIT-identical images — the visit set stays conservative and the
+    visit order ascending-index."""
+    import dataclasses
+
+    world = rtiow.final_scene(seed=42, grid=4)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    base = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=4,
+                        level=3, pallas_intersect="candidates")
+    want = PallasRenderer(base).render(scene, cam, seed=11)
+    for cs in (16, 32, 64):
+        cfg = dataclasses.replace(base, pallas_cand_size=cs)
+        got = PallasRenderer(cfg).render(scene, cam, seed=11)
+        np.testing.assert_array_equal(np.asarray(got.image),
+                                      np.asarray(want.image),
+                                      err_msg=f"cand_size={cs}")
+        assert float(got.rays_traced) == float(want.rays_traced)
+
+
 def test_candidate_walk_fuzz_random_scenes():
     """Random scenes across the group-size ladder (gc=32 single-chunk through
     gc=64+ chunked, overlapping spheres, degenerate radii) — the candidate walk
