@@ -521,8 +521,20 @@ def _lsb_index(lsb):
     return idx
 
 
-def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
-                          active, n_spheres: int, fast_disc: bool = False):
+# Popularity-thresholded pre-brute: groups whose candidate bit is set on more
+# than this fraction of the tile's lanes are tested tile-wide via the SMEM
+# scalar stream (0.0092 ns/pair) BEFORE the per-lane walk, with their bits
+# explicitly cleared — so the straggler lane's walk shrinks by every popular
+# group. Clearing is the load-bearing difference from the round-2 "seed by
+# bruting group 0" negative (−3%): seeding pruned best_q but left the bits
+# set (a group entered ahead of best stays entered — t_near ≈ 0 on the
+# ground), so no walk step was saved. 0.0 disables.
+POP_BRUTE_FRAC = 1.0 / 16.0
+
+
+def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
+                          gaabb_ref, active, n_spheres: int,
+                          fast_disc: bool = False):
     """Per-lane candidate-group walk — the sublinear alternative to
     ``_intersect_grouped`` (capability twin of the reference's per-thread BVH
     traversal, raytrace.wgsl:313-346, re-shaped for the VPU/MXU).
@@ -609,6 +621,64 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
     best_q = jnp.full((TILE_SUB, 128), INF, jnp.float32)
     best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
 
+    # ---- popularity pre-brute --------------------------------------------
+    # Visit order is no longer globally index-ascending once popular groups
+    # run first, so BOTH paths break exact-q ties with an explicit
+    # lower-global-index arm (same device arithmetic → identical q bits →
+    # value-identical results; ties are real only for duplicate geometry).
+    if POP_BRUTE_FRAC > 0.0:
+        thresh = np.float32(POP_BRUTE_FRAC * TILE)
+
+        def one_sphere_tb(s, bq, bi):
+            """SMEM scalar-stream sphere test (== _intersect_grouped's) with
+            the explicit index tie-break."""
+            cx = sph_ref[0, s]
+            cy = sph_ref[1, s]
+            cz = sph_ref[2, s]
+            r2 = sph_ref[3, s]
+            ocx = cx - ox
+            ocy = cy - oy
+            ocz = cz - oz
+            h = dx * ocx + dy * ocy + dz * ocz
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+            disc = h * h - a * cc
+            if fast_disc:
+                q = h - jnp.sqrt(disc)
+                ok = q > q_min
+            else:
+                q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+                ok = (disc >= 0.0) & (q > q_min)
+            better = ok & ((q < bq) | ((q == bq) & (s < bi)))
+            return jnp.where(better, q, bq), jnp.where(better, s, bi)
+
+        def brute_group(g):
+            def run(c):
+                bq, bi = c
+                for k in range(gc):
+                    s = g * gc + k
+                    if s < n_spheres:   # tail groups pad past the SMEM table
+                        bq, bi = one_sphere_tb(s, bq, bi)
+                return bq, bi
+            return run
+
+        for g in range(n_cand):
+            bit = np.int32(1 << (g % 31))
+            m = mask0 if g < 31 else mask1
+            pop = jnp.sum(jnp.where((m & bit) != 0, 1.0, 0.0))
+            do = pop > thresh
+            # Tiny cond carry (the two result arrays) — the allowed pattern.
+            best_q, best_i = jax.lax.cond(do, brute_group(g), lambda c: c,
+                                          (best_q, best_i))
+            # EXPLICITLY clear the bruted group's bit on every lane — pruning
+            # via best_q alone never clears it (entered-ahead-of-best stays
+            # true, e.g. t_near ≈ 0 on the ground), which is why the round-2
+            # seeding probe saved no walk steps.
+            clear = jnp.where(do, np.int32(~(1 << (g % 31))), np.int32(-1))
+            if g < 31:
+                mask0 = mask0 & clear
+            else:
+                mask1 = mask1 & clear
+
     def walk_cond(carry):
         return jnp.max(carry[0] | carry[1]) > 0
 
@@ -678,7 +748,11 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, grp_table, gaabb_ref,
                     take = qv[w:2 * w] < qv[:w]
                     qv = jnp.where(take, qv[w:2 * w], qv[:w])
                     iv = jnp.where(take, iv[w:2 * w], iv[:w])
-                better = qv < rows_q[r]
+                # Explicit lower-index tie-break: the pre-brute may have
+                # visited HIGHER-index groups already, so ascending visit
+                # order alone no longer implies index-ordered tie-keeping.
+                better = (qv < rows_q[r]) | ((qv == rows_q[r])
+                                             & (iv < rows_i[r]))
                 rows_q[r] = jnp.where(better, qv, rows_q[r])
                 rows_i[r] = jnp.where(better, iv, rows_i[r])
         # Rebuild tile arrays by concatenation (dynamic_update_slice has no
@@ -895,8 +969,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
     def intersect_full(o, d, active):
         if use_candidates:
-            return _intersect_candidates(o, d, grp_table, gaabb_ref, active,
-                                         n_spheres_padded, fast_disc=fast_disc)
+            return _intersect_candidates(o, d, sph_ref, grp_table, gaabb_ref,
+                                         active, n_spheres_padded,
+                                         fast_disc=fast_disc)
         return _intersect_grouped(o, d, sph_ref, gaabb_ref, active,
                                   n_spheres_padded, fast_disc=fast_disc)
 
