@@ -47,7 +47,8 @@ def _config(args):
                         defocus=args.aperture > 0.0,
                         diffuse_sampling=args.diffuse_sampling,
                         pallas_intersect=args.pallas_intersect,
-                        pallas_primary=args.pallas_primary)
+                        pallas_primary=args.pallas_primary,
+                        pallas_cand_size=args.pallas_cand_size)
 
 
 def _denoised(image, frame, args, raster_depth, cam):
@@ -228,6 +229,10 @@ def main(argv=None):
                        choices=["auto", "grouped", "candidates"],
                        help="megakernel sphere walk (auto: grouped <=1024 "
                             "spheres, candidates above)")
+        s.add_argument("--pallas-cand-size", type=int, default=0,
+                       help="candidate-walk group size in spheres (multiple "
+                            "of 16; 0 = auto — smallest fitting the two-word "
+                            "62-group mask)")
         s.add_argument("--pallas-primary", default="auto",
                        choices=["auto", "split", "off"],
                        help="megakernel bounce-0 strategy (auto: coherent "

@@ -528,8 +528,35 @@ def _lsb_index(lsb):
 # group. Clearing is the load-bearing difference from the round-2 "seed by
 # bruting group 0" negative (−3%): seeding pruned best_q but left the bits
 # set (a group entered ahead of best stays entered — t_near ≈ 0 on the
-# ground), so no walk step was saved. 0.0 disables.
-POP_BRUTE_FRAC = 1.0 / 16.0
+# ground), so no walk step was saved. MEASURED NEGATIVE as a default
+# (exp_round3b: −26% at the headline, −25% at the dense 5000-sphere scene at
+# every threshold tried — the n_cand cross-lane popularity reductions plus
+# per-group conds cost ≈ 6 µs/tile-iteration, more than the cleared walk
+# steps return). Kept as a probe switch; 0.0 disables.
+POP_BRUTE_FRAC = 0.0
+
+# Unconditionally brute the first N candidate groups tile-wide (SMEM scalar
+# stream) and CLEAR their bits before the walk. Group 0 is the quarantine
+# group (ground + oversized spheres, morton-sorted first): nearly every soup
+# lane wants it (t_near ≈ 0 on the ground), so clearing it shaves ~1 step
+# from every lane including the straggler, at brute cost with zero
+# popularity-counting machinery. MEASURED ≈ NEUTRAL at the headline
+# (exp_round3c: within noise of ref) and NOT ray-identical on real TPUs —
+# interpret-mode images are bit-identical, but on hardware the scalar-stream
+# test contracts fma differently from the MXU-gathered test, and the ulp
+# flips shift path structure (+2.4% segments) — the same hw-ulp class as
+# exact_rng (see PallasRenderer docstring). Keep 0 unless probing.
+BRUTE_FIRST_GROUPS = 0
+
+# Unrolled walk steps with mask REBUILDS against the tightened best_q at
+# these step counts (outside the while loop — a lax.cond re-mask carries ~10
+# vector operands through VMEM per iteration, the measured round-2 +9%
+# wall); the while loop then walks the survivors. best_q tightens fast
+# (ascending group ids visit the quarantine ground group first), so each
+# slab pass (~1 µs) prunes straggler steps. Measured (exp_round3c/d, v5e,
+# ray-identical): K=2 +5.5%, K=4 +9.5% over no-remask at the headline;
+# neutral at the dense 5000-sphere scene. () disables.
+REMASK_SCHEDULE = (4,)
 
 
 def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
@@ -583,9 +610,12 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     # ---- phase A: per-lane candidate bitmasks (slab test per group AABB) ---
     # TWO i32 words per lane: groups 0-30 in word 0, 31-61 in word 1 (bit 31
     # of each word stays clear so the values remain positive).
-    def build_mask(best_q):
+    def build_mask(best_q, keep_ties=False):
         """Bit g set iff group g's AABB is entered ahead of the lane's current
-        best hit (a·t_near rescale as in _intersect_grouped)."""
+        best hit (a·t_near rescale as in _intersect_grouped). ``keep_ties``
+        (the mid-walk re-mask) prunes only strictly-later groups, so an
+        exact a·t_near == best_q fp coincidence can never drop a sphere that
+        could still win a lower-index q tie."""
         mask0 = jnp.zeros((TILE_SUB, 128), jnp.int32)
         mask1 = jnp.zeros((TILE_SUB, 128), jnp.int32)
         for g in range(n_cand):
@@ -602,7 +632,9 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
                                             jnp.maximum(ty1, ty2)),
                                 jnp.maximum(tz1, tz2))
-            useful = (t_far >= t_near) & (t_far > 0.0) & (a * t_near < best_q)
+            near_q = a * t_near
+            ahead = (near_q <= best_q) if keep_ties else (near_q < best_q)
+            useful = (t_far >= t_near) & (t_far > 0.0) & ahead
             bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
             if g < 31:
                 mask0 = mask0 | bit
@@ -621,47 +653,60 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     best_q = jnp.full((TILE_SUB, 128), INF, jnp.float32)
     best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
 
-    # ---- popularity pre-brute --------------------------------------------
-    # Visit order is no longer globally index-ascending once popular groups
-    # run first, so BOTH paths break exact-q ties with an explicit
+    # ---- pre-brute stages ------------------------------------------------
+    # Visit order is no longer globally index-ascending once some groups run
+    # first, so BOTH paths break exact-q ties with an explicit
     # lower-global-index arm (same device arithmetic → identical q bits →
     # value-identical results; ties are real only for duplicate geometry).
+    def one_sphere_tb(s, bq, bi):
+        """SMEM scalar-stream sphere test (== _intersect_grouped's) with
+        the explicit index tie-break."""
+        cx = sph_ref[0, s]
+        cy = sph_ref[1, s]
+        cz = sph_ref[2, s]
+        r2 = sph_ref[3, s]
+        ocx = cx - ox
+        ocy = cy - oy
+        ocz = cz - oz
+        h = dx * ocx + dy * ocy + dz * ocz
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = h * h - a * cc
+        if fast_disc:
+            q = h - jnp.sqrt(disc)
+            ok = q > q_min
+        else:
+            q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (disc >= 0.0) & (q > q_min)
+        better = ok & ((q < bq) | ((q == bq) & (s < bi)))
+        return jnp.where(better, q, bq), jnp.where(better, s, bi)
+
+    def brute_group(g):
+        def run(c):
+            bq, bi = c
+            for k in range(gc):
+                s = g * gc + k
+                if s < n_spheres:   # tail groups pad past the SMEM table
+                    bq, bi = one_sphere_tb(s, bq, bi)
+            return bq, bi
+        return run
+
+    def clear_bit(mask0, mask1, g, clear):
+        if g < 31:
+            return mask0 & clear, mask1
+        return mask0, mask1 & clear
+
+    if BRUTE_FIRST_GROUPS > 0:
+        # Unconditional: the leading (quarantine) groups are wanted by nearly
+        # every lane; bruting them via the scalar stream and CLEARING their
+        # bits shortens every lane's walk, straggler included.
+        for g in range(min(BRUTE_FIRST_GROUPS, n_cand)):
+            best_q, best_i = brute_group(g)((best_q, best_i))
+            mask0, mask1 = clear_bit(mask0, mask1, g,
+                                     np.int32(~(1 << (g % 31))))
+
     if POP_BRUTE_FRAC > 0.0:
         thresh = np.float32(POP_BRUTE_FRAC * TILE)
-
-        def one_sphere_tb(s, bq, bi):
-            """SMEM scalar-stream sphere test (== _intersect_grouped's) with
-            the explicit index tie-break."""
-            cx = sph_ref[0, s]
-            cy = sph_ref[1, s]
-            cz = sph_ref[2, s]
-            r2 = sph_ref[3, s]
-            ocx = cx - ox
-            ocy = cy - oy
-            ocz = cz - oz
-            h = dx * ocx + dy * ocy + dz * ocz
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-            disc = h * h - a * cc
-            if fast_disc:
-                q = h - jnp.sqrt(disc)
-                ok = q > q_min
-            else:
-                q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-                ok = (disc >= 0.0) & (q > q_min)
-            better = ok & ((q < bq) | ((q == bq) & (s < bi)))
-            return jnp.where(better, q, bq), jnp.where(better, s, bi)
-
-        def brute_group(g):
-            def run(c):
-                bq, bi = c
-                for k in range(gc):
-                    s = g * gc + k
-                    if s < n_spheres:   # tail groups pad past the SMEM table
-                        bq, bi = one_sphere_tb(s, bq, bi)
-                return bq, bi
-            return run
-
-        for g in range(n_cand):
+        for g in range(BRUTE_FIRST_GROUPS, n_cand):
             bit = np.int32(1 << (g % 31))
             m = mask0 if g < 31 else mask1
             pop = jnp.sum(jnp.where((m & bit) != 0, 1.0, 0.0))
@@ -674,10 +719,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             # true, e.g. t_near ≈ 0 on the ground), which is why the round-2
             # seeding probe saved no walk steps.
             clear = jnp.where(do, np.int32(~(1 << (g % 31))), np.int32(-1))
-            if g < 31:
-                mask0 = mask0 & clear
-            else:
-                mask1 = mask1 & clear
+            mask0, mask1 = clear_bit(mask0, mask1, g, clear)
 
     def walk_cond(carry):
         return jnp.max(carry[0] | carry[1]) > 0
@@ -767,8 +809,22 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
         return (new_mask0, new_mask1, jnp.concatenate(rows_q, axis=0),
                 jnp.concatenate(rows_i, axis=0))
 
-    _, _, best_q, best_i = jax.lax.while_loop(
-        walk_cond, walk_body, (mask0, mask1, best_q, best_i))
+    carry = (mask0, mask1, best_q, best_i)
+    steps_done = 0
+    for r_at in REMASK_SCHEDULE:
+        # Unrolled steps up to each schedule point, then an unconditional
+        # re-mask against the tightened best_q — hoisted OUT of the while
+        # loop so no operands round-trip VMEM per iteration (the round-2
+        # per-step re-mask wall). Groups no surviving lane can improve in
+        # drop out before the while loop, whose trip count the straggler
+        # lane bounds.
+        for _ in range(r_at - steps_done):
+            carry = walk_body(carry)
+        steps_done = r_at
+        m0, m1, bq, bi = carry
+        f0, f1 = build_mask(bq, keep_ties=True)
+        carry = (m0 & f0, m1 & f1, bq, bi)
+    _, _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body, carry)
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i
 
@@ -1348,9 +1404,17 @@ def pscene_cache_key(scene: SceneBuffers):
 
 
 def _auto_cand_size(s: int) -> int:
-    """Candidate-group size for ``s`` padded spheres: GROUP-granular, the
-    smallest multiple keeping the group count within the two-word mask."""
-    return GROUP * (-(-(s // GROUP) // MAX_CAND_GROUPS))
+    """Candidate-group size for ``s`` padded spheres: the smallest CAND_UNIT
+    multiple keeping the group count within the two-word mask. Measured
+    (exp_round3/3b, v5e): 16-sphere groups beat 32 at the headline scene by
+    ~10% (half the per-step one-hot accumulator bytes — the walk's measured
+    bottleneck — at a slightly higher straggler step count); at 5,120
+    spheres (group size 96 vs the round-2 192) the two are within noise on
+    both the dense and sparse 5,000-sphere scenes (pair-count-bound). One
+    known trade: WITHOUT the phase split (spp > 32) 16 is ~3% slower than 32
+    at the headline (coherent bounce-0 in the soup favors fewer steps) —
+    set pallas_cand_size=32 explicitly for that corner."""
+    return CAND_UNIT * (-(-(s // CAND_UNIT) // MAX_CAND_GROUPS))
 
 
 def prepare_pallas_scene(scene: SceneBuffers,
