@@ -548,15 +548,22 @@ POP_BRUTE_FRAC = 0.0
 # exact_rng (see PallasRenderer docstring). Keep 0 unless probing.
 BRUTE_FIRST_GROUPS = 0
 
-# Unrolled walk steps with mask REBUILDS against the tightened best_q at
-# these step counts (outside the while loop — a lax.cond re-mask carries ~10
-# vector operands through VMEM per iteration, the measured round-2 +9%
-# wall); the while loop then walks the survivors. best_q tightens fast
-# (ascending group ids visit the quarantine ground group first), so each
-# slab pass (~1 µs) prunes straggler steps. Measured (exp_round3c/d, v5e,
-# ray-identical): K=2 +5.5%, K=4 +9.5% over no-remask at the headline;
-# neutral at the dense 5000-sphere scene. () disables.
-REMASK_SCHEDULE = (4,)
+# UNROLL the first K walk steps ahead of the while loop, re-masking against
+# the tightened best_q at each schedule point; the while loop only finishes
+# straggler tails. Measured (exp_round3c/d/e/f, v5e, ray-identical): K=2
+# +5.5%, K=4 +9.5%, K=5..8 plateau ≈ +13% over the pure while loop at the
+# headline; K=10/12 regress (typical tiles finish in ≤8 steps — further
+# unrolled steps run as harmless-retest waste). The isolation probe
+# (_REMASK_REBUILD=False at K=8: 332.4 vs 332.5 Mrays/s) shows the win is
+# almost entirely the UNROLLING — unrolled steps keep the 4-array carry
+# register-resident and skip the per-iteration cond reduce, where each while
+# iteration round-trips the carry through VMEM — the re-mask slab pass
+# (~1 µs) is ~free and kept for principled tail pruning (it helps slightly
+# on the dense 5000-sphere scene's longer straggler tails). Multi-point
+# schedules measured slightly worse than one deep point. () disables.
+REMASK_SCHEDULE = (5,)
+_REMASK_REBUILD = True   # probe: False = unroll the steps but skip the
+                         # rebuild, isolating unroll-vs-remask contributions
 
 
 def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
@@ -821,9 +828,10 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
         for _ in range(r_at - steps_done):
             carry = walk_body(carry)
         steps_done = r_at
-        m0, m1, bq, bi = carry
-        f0, f1 = build_mask(bq, keep_ties=True)
-        carry = (m0 & f0, m1 & f1, bq, bi)
+        if _REMASK_REBUILD:
+            m0, m1, bq, bi = carry
+            f0, f1 = build_mask(bq, keep_ties=True)
+            carry = (m0 & f0, m1 & f1, bq, bi)
     _, _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body, carry)
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i

@@ -3,11 +3,13 @@
 The megakernel's phase-split mode traces every sample's bounce-0 segment in a
 fully coherent pass (see ``megakernel._render_kernel``). Because a 64×64 pixel
 block's primary rays share ~3° of field of view, the set of spheres any of them
-can hit is tiny (measured on the RTiOW final scene: mean ~7 of 512, max 23 per
-block), so the bounce-0 intersection can walk a per-block shortlist instead of
-the whole table. This module builds those shortlists on the host — it needs
-concrete camera values, so it runs OUTSIDE jit, once per (scene, camera,
-config), in NumPy (~0.5 ms for 510 blocks × 512 spheres).
+can hit is tiny (measured on the RTiOW final scene: mean ~3-7 of 512, max 23
+per block, aspect-dependent), so the bounce-0 intersection can walk a
+per-block shortlist instead of the whole table. This module builds those
+shortlists on the host — it needs concrete camera values, so it runs OUTSIDE
+jit, once per (scene, camera, config), in NumPy, block-vectorized (~13 ms for
+510 blocks × 512 spheres at 1080p; the per-block-loop version was 97 ms —
+BENCH_EDIT_r03).
 
 Conservativeness contract (what makes the fast path exact): a sphere is culled
 from a block's shortlist only if NO primary ray of that block can hit it.
@@ -181,32 +183,40 @@ def build_block_shortlists(sph: np.ndarray, cam, config,
     t_lo = np.maximum(dist - r - lens_r - fp_eps, 0.0)
     order_key = np.where(live, t_lo, np.inf)
 
+    # Frustum math vectorized over blocks (the per-block Python loop was
+    # 97 ms of a 1080p edit frame — BENCH_EDIT_r03); per-block work below is
+    # membership extraction + front-to-back sort only.
+    b_ids = block_lo + np.arange(n_blocks)
+    bx, by = b_ids % nbx, b_ids // nbx
+    x0, y0 = bx * BLOCK_W, by * BLOCK_H
+    nx_lo = (2.0 * (x0 + 0.5) / w - 1.0) - jx              # (B,)
+    nx_hi = (2.0 * (x0 + BLOCK_W - 0.5) / w - 1.0) + jx
+    ny_hi = (1.0 - 2.0 * (y0 + 0.5) / h) + jy
+    ny_lo = (1.0 - 2.0 * (y0 + BLOCK_H - 0.5) / h) - jy
+
+    def dirn(nx, ny):                                      # (B, 3)
+        return (fwd[None, :] + right[None, :] * (nx * aspect * scale)[:, None]
+                + up[None, :] * (ny * scale)[:, None])
+
+    c00, c10 = dirn(nx_lo, ny_lo), dirn(nx_hi, ny_lo)
+    c01, c11 = dirn(nx_lo, ny_hi), dirn(nx_hi, ny_hi)
+    dc = dirn(0.5 * (nx_lo + nx_hi), 0.5 * (ny_lo + ny_hi))
+    planes = np.stack([np.cross(pa, pb) for pa, pb in
+                       ((c00, c01), (c10, c11), (c00, c10), (c01, c11))],
+                      axis=1)                              # (B, 4, 3)
+    flip = np.einsum("bpk,bk->bp", planes, dc) < 0.0
+    planes = np.where(flip[:, :, None], -planes, planes)
+    planes /= np.linalg.norm(planes, axis=2, keepdims=True)
+    margin = r_eff + lens_r + fp_eps                       # (S,)
+    proj = np.einsum("bpk,sk->bps", planes, oc)            # (B, 4, S)
+    inside = ((proj >= -margin[None, None, :]).all(axis=1)
+              & ((oc @ fwd_u) >= -margin)[None, :]         # behind the lens
+              & live[None, :])                             # (B, S)
+
     counts = np.zeros(n_blocks, np.int64)
     members = []
     for k in range(n_blocks):
-        b = block_lo + k
-        bx, by = b % nbx, b // nbx
-        x0, y0 = bx * BLOCK_W, by * BLOCK_H
-        nx_lo = (2.0 * (x0 + 0.5) / w - 1.0) - jx
-        nx_hi = (2.0 * (x0 + BLOCK_W - 0.5) / w - 1.0) + jx
-        ny_hi = (1.0 - 2.0 * (y0 + 0.5) / h) + jy
-        ny_lo = (1.0 - 2.0 * (y0 + BLOCK_H - 0.5) / h) - jy
-
-        def dirn(nx, ny):
-            return fwd + right * (nx * aspect * scale) + up * (ny * scale)
-
-        c00, c10 = dirn(nx_lo, ny_lo), dirn(nx_hi, ny_lo)
-        c01, c11 = dirn(nx_lo, ny_hi), dirn(nx_hi, ny_hi)
-        dc = dirn(0.5 * (nx_lo + nx_hi), 0.5 * (ny_lo + ny_hi))
-        inside = live.copy()
-        for pa, pb in ((c00, c01), (c10, c11), (c00, c10), (c01, c11)):
-            n = np.cross(pa, pb)
-            if np.dot(n, dc) < 0.0:
-                n = -n
-            n /= np.linalg.norm(n)
-            inside &= (oc @ n) >= -(r_eff + lens_r + fp_eps)
-        inside &= (oc @ fwd_u) >= -(r_eff + lens_r + fp_eps)  # behind the lens
-        idx = np.nonzero(inside)[0]
+        idx = np.nonzero(inside[k])[0]
         idx = idx[np.argsort(order_key[idx], kind="stable")]
         counts[k] = idx.size
         members.append(idx)

@@ -91,6 +91,14 @@ def srgb_to_linear(c: float) -> float:
     return ((c + 0.055) / 1.055) ** 2.4
 
 
+def srgb_to_linear_np(c: "np.ndarray") -> "np.ndarray":
+    """Vectorized ``srgb_to_linear`` (float64 in/out — callers cast to f32
+    the same way the scalar path's float32 cast does, so records match the
+    per-sphere path bit-for-bit)."""
+    c = np.asarray(c, np.float64)
+    return np.where(c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
 @dataclasses.dataclass
 class StandardMaterial:
     """The 6 StandardMaterial-derived fields the renderer consumes (extract.rs:196-208).

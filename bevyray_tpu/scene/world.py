@@ -139,17 +139,29 @@ class World:
         the enumerate index, one material record per sphere even when shared
         (extract.rs:301-310, SURVEY.md quirk #8).
         """
-        centers, radii, mats = [], [], []
+        centers, radii, rows = [], [], []
         for t, s, m, alive in zip(self._transforms, self._spheres, self._materials, self._alive):
             if not alive:
                 continue
             centers.append(t.translation)
             radii.append(s.radius)
-            mats.append(m.to_record())
+            rows.append((*m.base_color, m.metallic, m.perceptual_roughness,
+                         m.reflectance, m.ior, m.specular_transmission,
+                         *m.emissive))
         n = len(radii)
         centers = np.asarray(centers, np.float32).reshape(n, 3)
         radii = np.asarray(radii, np.float32)
-        mat_table = np.stack(mats, 0) if n else np.zeros((0, 11), np.float32)
+        # Vectorized twin of StandardMaterial.to_record (the per-sphere
+        # Python loop with scalar srgb pow was 53 ms of a 1080p edit frame —
+        # BENCH_EDIT_r03); the float64 math + one f32 cast matches the
+        # scalar records bit-for-bit.
+        if n:
+            from .components import srgb_to_linear_np
+            raw = np.asarray(rows, np.float64)
+            raw[:, :3] = srgb_to_linear_np(raw[:, :3])
+            mat_table = raw.astype(np.float32)
+        else:
+            mat_table = np.zeros((0, 11), np.float32)
         mat_ids = np.arange(n, dtype=np.int32)
         return centers, radii, mat_table, mat_ids
 
