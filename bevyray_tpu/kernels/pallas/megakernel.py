@@ -97,6 +97,13 @@ N_ST = 15
 (ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ, ST_RCX, ST_RCY, ST_RCZ,
  ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
 MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under VMEM
+# Bounce iterations per phase-B while-loop step. The outer persistent loop
+# carries 13 (TILE_SUB, 128) arrays; every while iteration round-trips that
+# carry through VMEM and pays a cross-lane cond reduce (the same mechanism
+# the walk-prefix unroll exploits — exp_round3f). The body is exactly
+# idempotent on all-dead lanes (masked updates, zero harvest, no-op fetch),
+# so J>1 only adds a harmless partial pass at each tile's end.
+PHASEB_UNROLL = 2
 SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # (measured: walk-all was 2.5% SLOWER than the chunked
                        # early-out even at k_cap=24 — the per-chunk consensus
@@ -1208,7 +1215,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             def cond(carry):
                 return jnp.max(carry[0]) > 0.0
 
-            def body(carry):
+            def body_once(carry):
                 (w, sid_f, b_lane, o, d, rc, rad, fd,
                  cr, cg, cb, dsum, segsum) = carry
                 active = w > 0.0
@@ -1237,6 +1244,11 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 return (w, sid_f, b_lane, o, d, rc, rad, fd,
                         cr, cg, cb, dsum, segsum)
 
+            def body(carry):
+                for _ in range(max(PHASEB_UNROLL, 1)):
+                    carry = body_once(carry)
+                return carry
+
             st0 = [st_read(0, f) for f in range(N_ST)]
             init = (st0[ST_W], st0[ST_SID], jnp.ones(n, jnp.int32),
                     Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
@@ -1263,7 +1275,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 alive = carry[0] < target
                 return jnp.max(jnp.where(alive, 1.0, 0.0)) > 0.0
 
-        def body(carry):
+        def body_once(carry):
             (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
              cr, cg, cb, dsum, segsum) = carry
             active = s_lane < target
@@ -1298,6 +1310,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             b_lane = jnp.where(cont, b_lane + 1, 0)
             return (s_lane, b_lane, o, d, ray_color, radiance, first_depth,
                     cr, cg, cb, dsum, segsum)
+
+        def body(carry):
+            # Idempotent on finished lanes — see PHASEB_UNROLL.
+            for _ in range(max(PHASEB_UNROLL, 1)):
+                carry = body_once(carry)
+            return carry
 
         s0 = jnp.where(in_image, 0, spp).astype(jnp.int32)
         o0, d0 = raygen(make_provider(s0))
