@@ -50,7 +50,7 @@ def _new_film(n: int) -> AdaptiveFilm:
 
 def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
                    config: RenderConfig, frame_seed, sample_offset, reprobe,
-                   tolerance: float, sl=None, slmeta=None):
+                   tolerance: float, sl=None, slmeta=None, slattr=None):
     """One pass: pixels with err >= tolerance trace config.samples_per_pixel
     fresh samples; the rest trace none. Returns the updated film.
 
@@ -67,7 +67,8 @@ def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
                              config, fill=0)
     r, g, b, depth, segs = render_tiles(
         pscene, cam, config, frame_seed, sample_offset=sample_offset,
-        normalize=False, sl=sl, slmeta=slmeta, spp_map=spp_map)
+        normalize=False, sl=sl, slmeta=slmeta, slattr=slattr,
+        spp_map=spp_map)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
 
     took = want.astype(jnp.float32) * spp
@@ -153,11 +154,16 @@ class AdaptiveRenderer:
         from ..kernels.pallas.primary import shortlists_for
         if self._sl_cache is not None and self._sl_cache[0] == cam_key:
             return self._sl_cache[1]
-        sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam, self.config,
-                                    self.config.samples_per_pixel)
+        attr = np.asarray(pscene.attr) if pscene.tri.shape[1] == 0 else None
+        sl, slmeta, slattr = shortlists_for(np.asarray(pscene.sph), cam,
+                                            self.config,
+                                            self.config.samples_per_pixel,
+                                            attr=attr)
         if sl is not None:
             sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-        self._sl_cache = (cam_key, (sl, slmeta))
+        if slattr is not None:
+            slattr = jnp.asarray(slattr)
+        self._sl_cache = (cam_key, (sl, slmeta, slattr))
         return self._sl_cache[1]
 
     def step(self, scene: SceneBuffers, cam: CameraState, seed: int) -> None:
@@ -169,14 +175,14 @@ class AdaptiveRenderer:
             self.reset()
             self._last_cam_key = cam_key
         pscene = self._prepare(scene)
-        sl, slmeta = self._shortlists(pscene, cam, cam_key)
+        sl, slmeta, slattr = self._shortlists(pscene, cam, cam_key)
         reprobe = (self.reprobe_every > 0 and self._pass_count > 0
                    and self._pass_count % self.reprobe_every == 0)
         self.film = self._fn(film=self.film, pscene=pscene, cam=cam,
                              frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                              sample_offset=jnp.uint32(self._sample_offset),
                              reprobe=jnp.bool_(reprobe),
-                             sl=sl, slmeta=slmeta)
+                             sl=sl, slmeta=slmeta, slattr=slattr)
         self._sample_offset += self.config.samples_per_pixel
         self._pass_count += 1
 

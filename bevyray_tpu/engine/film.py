@@ -126,13 +126,14 @@ def _jitted_resolve(config: RenderConfig):
 
 def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
                            config: RenderConfig, frame_seed, sample_offset,
-                           sl=None, slmeta=None) -> Film:
+                           sl=None, slmeta=None, slattr=None) -> Film:
     """Megakernel-backed accumulation: one fused kernel pass traces
     ``config.samples_per_pixel`` fresh samples (offset so streams never repeat)
     and returns SUMS that fold into the film."""
     from ..kernels.pallas.megakernel import render_tiles, unshuffle_blocks
 
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
+                                        slattr=slattr,
                                         sample_offset=sample_offset,
                                         normalize=False, sl=sl, slmeta=slmeta)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
@@ -204,20 +205,24 @@ class ProgressiveRenderer:
             # raising when a forced "split" is unsupported.
             cache = getattr(self, "_sl_cache", None)
             if cache is not None and cache[0] == (sid, key):
-                sl, slmeta = cache[1]
+                sl, slmeta, slattr = cache[1]
             else:
                 from ..kernels.pallas.primary import shortlists_for
-                sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam,
-                                            self.config,
-                                            self.config.samples_per_pixel)
+                attr = (np.asarray(pscene.attr)
+                        if pscene.tri.shape[1] == 0 else None)
+                sl, slmeta, slattr = shortlists_for(
+                    np.asarray(pscene.sph), cam, self.config,
+                    self.config.samples_per_pixel, attr=attr)
                 if sl is not None:
                     sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-                self._sl_cache = ((sid, key), (sl, slmeta))
+                if slattr is not None:
+                    slattr = jnp.asarray(slattr)
+                self._sl_cache = ((sid, key), (sl, slmeta, slattr))
             self.film = self._accumulate(
                 film=self.film, pscene=pscene, cam=cam,
                 frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                 sample_offset=jnp.uint32(self._sample_offset),
-                sl=sl, slmeta=slmeta)
+                sl=sl, slmeta=slmeta, slattr=slattr)
         else:
             self.film = self._accumulate(
                 film=self.film, scene=scene, cam=cam,

@@ -19,8 +19,8 @@ from .renderer import FrameResult
 
 def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                        frame_seed, raster_color: Vec3, raster_depth,
-                       exact_rng: bool = False, sl=None,
-                       slmeta=None) -> FrameResult:
+                       exact_rng: bool = False, sl=None, slmeta=None,
+                       slattr=None) -> FrameResult:
     h, w = config.height, config.width
     n = h * w
     if config.level == 0:   # Skip: raster passthrough, no tracing (wgsl:97-99)
@@ -32,7 +32,7 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
                            rays_traced=jnp.float32(0.0))
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         exact_rng=exact_rng, sl=sl,
-                                        slmeta=slmeta)
+                                        slmeta=slmeta, slattr=slattr)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
     rt_color = Vec3(r, g, b)
     rt_depth = depth
@@ -89,10 +89,12 @@ class PallasRenderer:
         return pscene
 
     def shortlists(self, pscene: PallasScene, cam: CameraState):
-        """Host-built per-block primary shortlists for phase-split bounce 0
-        (kernels.pallas.primary.shortlists_for) — or (None, None) when
-        disabled/unworthwhile. Cached on (scene tables, camera, config);
-        needs concrete camera values, so it runs outside jit."""
+        """Host-built per-block primary shortlists (+ shortlist-local attr
+        tables when every block fits and the scene has no triangles) for
+        phase-split bounce 0 (kernels.pallas.primary.shortlists_for) — or
+        (None, None, None) when disabled/unworthwhile. Cached on (scene
+        tables, camera, config); needs concrete camera values, so it runs
+        outside jit."""
         import numpy as np
 
         from ..kernels.pallas.primary import shortlists_for
@@ -105,10 +107,14 @@ class PallasRenderer:
         key = (self._pscene_cache[0], cam_key)
         if self._sl_cache is not None and self._sl_cache[0] == key:
             return self._sl_cache[1]
-        sl, slmeta = shortlists_for(np.asarray(pscene.sph), cam, self.config,
-                                    self.config.samples_per_pixel)
-        out = ((None, None) if sl is None
-               else (jnp.asarray(sl), jnp.asarray(slmeta)))
+        attr = np.asarray(pscene.attr) if pscene.tri.shape[1] == 0 else None
+        sl, slmeta, slattr = shortlists_for(np.asarray(pscene.sph), cam,
+                                            self.config,
+                                            self.config.samples_per_pixel,
+                                            attr=attr)
+        out = ((None, None, None) if sl is None
+               else (jnp.asarray(sl), jnp.asarray(slmeta),
+                     None if slattr is None else jnp.asarray(slattr)))
         self._sl_cache = (key, out)
         return out
 
@@ -120,8 +126,8 @@ class PallasRenderer:
         if raster_depth is None:
             raster_depth = jnp.float32(0.0)
         pscene = self.prepare(scene)
-        sl, slmeta = self.shortlists(pscene, cam)
+        sl, slmeta, slattr = self.shortlists(pscene, cam)
         return self._fn(pscene=pscene, cam=cam,
                         frame_seed=jnp.uint32(seed & 0xFFFFFFFF),
                         raster_color=raster_color, raster_depth=raster_depth,
-                        sl=sl, slmeta=slmeta)
+                        sl=sl, slmeta=slmeta, slattr=slattr)

@@ -439,6 +439,9 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
     gathering is unchanged. Off-image lanes start at best_q = 0: they can
     never accept a hit (q > q_min > 0) and never vote a chunk useful, so edge
     blocks still early-out.
+
+    Returns (t, global index, LOCAL shortlist slot) — the slot (‑1 on miss)
+    feeds the shortlist-local attribute gather when every block fits.
     """
     from .primary import SL_CHUNK
 
@@ -449,7 +452,7 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
     q_min = a * T_MIN
     n_chunks = k_cap // SL_CHUNK
 
-    def one_sphere(s, best_q, best_i):
+    def one_sphere(s, best_q, best_i, best_s):
         # sl_ref holds 8 tiles' (5·k_cap) rows (Mosaic wants SMEM block
         # sublane dims divisible by 8); ``row`` picks this tile's.
         cx = sl_ref[row, s]
@@ -477,33 +480,36 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
         better = ok & ((q < best_q) | ((q == best_q) & (gi < best_i)))
         best_q = jnp.where(better, q, best_q)
         best_i = jnp.where(better, gi, best_i)
-        return best_q, best_i
+        best_s = jnp.where(better, s, best_s)
+        return best_q, best_i, best_s
 
     init_q = jnp.where(in_image, INF, 0.0).astype(jnp.float32)
     init_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
+    init_s = jnp.full((TILE_SUB, 128), -1, jnp.int32)
     if k_cap <= SL_WALK_ALL_MAX:
         # Tiny shortlist: the chunked early-out's per-chunk cross-lane reduce +
         # branch costs about what it saves — walk everything unconditionally.
-        best_q, best_i = init_q, init_i
+        best_q, best_i, best_s = init_q, init_i, init_s
         for s in range(k_cap):
-            best_q, best_i = one_sphere(s, best_q, best_i)
+            best_q, best_i, best_s = one_sphere(s, best_q, best_i, best_s)
     else:
         def cond(carry):
-            c, best_q, _ = carry
+            c, best_q, _, _ = carry
             t_lo = meta_ref[row, 1 + jnp.minimum(c, n_chunks - 1)]
             useful = a * t_lo < best_q
             return (c < n_chunks) & (jnp.max(jnp.where(useful, 1.0, 0.0)) > 0.0)
 
         def body(carry):
-            c, best_q, best_i = carry
+            c, best_q, best_i, best_s = carry
             for j in range(SL_CHUNK):
-                best_q, best_i = one_sphere(c * SL_CHUNK + j, best_q, best_i)
-            return c + 1, best_q, best_i
+                best_q, best_i, best_s = one_sphere(
+                    c * SL_CHUNK + j, best_q, best_i, best_s)
+            return c + 1, best_q, best_i, best_s
 
-        _, best_q, best_i = jax.lax.while_loop(cond, body,
-                                               (jnp.int32(0), init_q, init_i))
+        _, best_q, best_i, best_s = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), init_q, init_i, init_s))
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
-    return best_t, best_i
+    return best_t, best_i, best_s
 
 
 # Bit masks for the lowest-set-bit → index extraction (i32; bit 31 unused, so
@@ -944,7 +950,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
                    normalize: bool = True, sl_ref=None, slmeta_ref=None,
-                   st_ref=None, sppmap_ref=None):
+                   slattr_ref=None, st_ref=None, sppmap_ref=None):
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -1050,8 +1056,13 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                     first_depth, intersect_fn=None):
         """One path segment for every lane: intersect, sky/emissive radiance,
         scatter. Returns the post-segment ray state plus hit/continue masks.
-        ``b_vec`` may be a scalar (classic per-sample loop) or per-lane."""
-        t, idx = (intersect_fn or intersect_full)(o, d, active)
+        ``b_vec`` may be a scalar (classic per-sample loop) or per-lane.
+        ``intersect_fn`` may return a third value — the LOCAL shortlist slot
+        — in which case attributes gather from the per-block shortlist attr
+        table (bit-identical rows, a ~16× narrower one-hot)."""
+        res = (intersect_fn or intersect_full)(o, d, active)
+        t, idx = res[0], res[1]
+        s_loc = res[2] if len(res) == 3 else None
         if n_tris_padded:
             t, idx = _intersect_triangles_scalar(
                 o, d, tri_ref, n_tris_padded, n_spheres_padded, t, idx)
@@ -1062,8 +1073,15 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                               radiance)
         active_hit = active & ~miss
 
-        center, mats = _gather_attrs(idx, attr_table,
-                                     n_spheres_padded + n_tris_padded)
+        if s_loc is not None and not n_tris_padded:
+            # Shortlist-local gather: same bf16 hi/lo rows for the winner's
+            # GLOBAL column, selected by its local slot — exact, and the
+            # one-hot build runs over k_pad (≈32) columns instead of S+T.
+            center, mats = _gather_attrs(s_loc, slattr_ref[0],
+                                         slattr_ref.shape[-1])
+        else:
+            center, mats = _gather_attrs(idx, attr_table,
+                                         n_spheres_padded + n_tris_padded)
         if _DEBUG_DOUBLE_GATHER:
             # Perturbed index defeats CSE; 1e-30 weight leaves images and
             # control flow untouched at timing precision.
@@ -1125,6 +1143,13 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         sl_row = jax.lax.rem(tile_id, 8)  # row within the 8-tile SMEM block
 
         def intersect_primary(o, d, active):
+            if slattr_ref is not None:
+                # The host only ships the local attr tables when NO block
+                # overflowed (and the scene has no triangles), so the
+                # overflow cond disappears entirely on this path.
+                return _intersect_shortlist(o, d, sl_ref, slmeta_ref, sl_row,
+                                            active & in_image, k_cap,
+                                            fast_disc=fast_disc)
             # Per-block overflow flag → full walk (tile-uniform scalar branch;
             # the carried operands are just the two result arrays).
             return jax.lax.cond(
@@ -1132,7 +1157,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 lambda: intersect_full(o, d, active),
                 lambda: _intersect_shortlist(o, d, sl_ref, slmeta_ref, sl_row,
                                              active & in_image, k_cap,
-                                             fast_disc=fast_disc))
+                                             fast_disc=fast_disc)[:2])
 
         def st_write(s, f, val):
             st_ref[pl.ds(s, 1), pl.ds(f * TILE_SUB, TILE_SUB), :] = (
@@ -1678,7 +1703,8 @@ def shuffle_blocks(flat, config: RenderConfig, fill=0):
 def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                  frame_seed, exact_rng: bool = False, block_offset=0,
                  sample_offset=0, n_blocks_local=None, normalize: bool = True,
-                 persistent: bool = True, sl=None, slmeta=None, spp_map=None):
+                 persistent: bool = True, sl=None, slmeta=None, slattr=None,
+                 spp_map=None):
     """Run the megakernel over the frame (or one shard of it when
     ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
     multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
@@ -1765,6 +1791,13 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             (config.samples_per_pixel, N_ST * TILE_SUB, 128), jnp.float32)]
         extra_names += ["sl_ref", "slmeta_ref"]
         extra_args += [sl2d, slmeta2d]
+        if slattr is not None:
+            assert slattr.shape[0] == n_tiles and pscene.tri.shape[1] == 0
+            in_specs += [pl.BlockSpec((1,) + slattr.shape[1:],
+                                      lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)]
+            extra_names += ["slattr_ref"]
+            extra_args += [jnp.asarray(slattr, jnp.bfloat16)]
     if spp_map is not None:
         assert spp_map.shape[0] == n_tiles, \
             "spp_map must cover exactly the local tile range"

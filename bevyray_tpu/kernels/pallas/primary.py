@@ -60,14 +60,20 @@ def live_sphere_count(sph: np.ndarray) -> int:
 
 
 def shortlists_for(sph: np.ndarray, cam, config, local_spp: int,
-                   block_lo: int = 0, n_blocks: int | None = None):
+                   block_lo: int = 0, n_blocks: int | None = None,
+                   attr: np.ndarray | None = None):
     """Single-sourced gate + build for phase-split shortlists.
 
-    Returns NumPy ``(sl, meta)`` when the split should run, ``(None, None)``
-    when it shouldn't, and raises when ``pallas_primary="split"`` is forced on
-    an unsupported configuration — so every front-end (PallasRenderer,
-    ProgressiveRenderer, the sharded step) agrees on the contract. Callers
-    convert to device arrays and cache.
+    Returns NumPy ``(sl, meta, slattr)`` when the split should run,
+    ``(None, None, None)`` when it shouldn't, and raises when
+    ``pallas_primary="split"`` is forced on an unsupported configuration — so
+    every front-end (PallasRenderer, ProgressiveRenderer, the sharded step)
+    agrees on the contract. Callers convert to device arrays and cache.
+
+    ``attr``: the kernel's combined (N_ATTR, S) attribute table (pass the
+    SPHERES-ONLY table — no triangle columns). When given and no block
+    overflows, ``slattr`` holds per-block shortlist-aligned copies so the
+    kernel's bounce-0 attribute gather runs over ~32 columns instead of S.
     """
     from .megakernel import MAX_SPLIT_SPP
 
@@ -78,13 +84,34 @@ def shortlists_for(sph: np.ndarray, cam, config, local_spp: int,
                 "pallas_primary='split' needs a raytraced level and a "
                 f"per-device samples_per_pixel (here {local_spp}) of at most "
                 f"{MAX_SPLIT_SPP}")
-        return None, None
+        return None, None, None
     sl, meta = build_block_shortlists(sph, cam, config, block_lo=block_lo,
                                       n_blocks=n_blocks)
     if (config.pallas_primary == "auto"
             and not split_worthwhile(sl, meta, sph, local_spp)):
-        return None, None
-    return sl, meta
+        return None, None, None
+    slattr = None if attr is None else shortlist_attr_tables(sl, meta, attr)
+    return sl, meta, slattr
+
+
+def shortlist_attr_tables(sl: np.ndarray, meta: np.ndarray,
+                          attr: np.ndarray):
+    """Per-block attribute tables aligned with the shortlists (column j =
+    the global attr column of shortlist entry j, same bf16 hi/lo rows →
+    bit-identical gathered values). ``None`` when any block overflowed (those
+    blocks full-walk and need the global table)."""
+    if (meta[:, 0] > 0.0).any():
+        return None
+    n_blocks, _, k_cap = sl.shape
+    k_pad = max(32, -(-k_cap // 32) * 32)
+    out = np.zeros((n_blocks, attr.shape[0], k_pad), attr.dtype)
+    live = sl[:, 3, :] > np.float32(-1e29)
+    idx = sl[:, 4, :].astype(np.int64)
+    for b in range(n_blocks):
+        m = live[b]
+        if m.any():
+            out[b, :, :k_cap][:, m] = attr[:, idx[b, m]]
+    return out
 
 
 def split_worthwhile(sl: np.ndarray, meta: np.ndarray, sph: np.ndarray,

@@ -323,9 +323,13 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
         pscene = jitted_prepare(config.pallas_cand_size)(scene)
-        sl_np, slmeta_np = shortlists_for(np.asarray(pscene.sph), cam, config,
-                                          local_spp, block_lo=0,
-                                          n_blocks=n_blocks_padded)
+        # The sharded step keeps the global attribute gather (no slattr):
+        # shipping per-shard local tables through shard_map adds a third
+        # sharded operand for a ~2% single-chip win — not worth the spec
+        # complexity on the multi-chip path.
+        sl_np, slmeta_np, _ = shortlists_for(np.asarray(pscene.sph), cam,
+                                             config, local_spp, block_lo=0,
+                                             n_blocks=n_blocks_padded)
         if sl_np is not None:
             sl = jnp.asarray(sl_np).reshape(n_blocks_padded, -1)
             slmeta = jnp.asarray(slmeta_np)

@@ -126,7 +126,7 @@ def test_auto_disables_above_cap():
                                     samples_per_pixel=MAX_SPLIT_SPP + 1,
                                     bounces=1, level=3), exact_rng=True)
     pscene = r.prepare(scene)
-    assert r.shortlists(pscene, cam) == (None, None)
+    assert r.shortlists(pscene, cam) == (None, None, None)
     r.render(scene, cam, seed=0)  # runs through the plain persistent loop
 
 
@@ -158,19 +158,19 @@ def test_auto_gate_matches_measured_decision_surface():
     tiny16 = dict(width=64, height=64, samples_per_pixel=16, bounces=2,
                   level=3)
     r_auto = PallasRenderer(RenderConfig(**tiny16), exact_rng=True)
-    assert r_auto.shortlists(r_auto.prepare(scene), cam) == (None, None)
+    assert r_auto.shortlists(r_auto.prepare(scene), cam) == (None, None, None)
     tiny4 = dict(tiny16, samples_per_pixel=4)
     r_lowspp = PallasRenderer(RenderConfig(**tiny4), exact_rng=True)
-    sl, _ = r_lowspp.shortlists(r_lowspp.prepare(scene), cam)
+    sl, _, _ = r_lowspp.shortlists(r_lowspp.prepare(scene), cam)
     assert sl is not None
     r_force = PallasRenderer(RenderConfig(**tiny16, pallas_primary="split"),
                              exact_rng=True)
-    sl, _ = r_force.shortlists(r_force.prepare(scene), cam)
+    sl, _, _ = r_force.shortlists(r_force.prepare(scene), cam)
     assert sl is not None
     big = rtiow.final_scene(seed=3)
     r_big = PallasRenderer(RenderConfig(**tiny16), exact_rng=True)
-    sl, _ = r_big.shortlists(r_big.prepare(big.extract(with_bvh=False)),
-                             big.camera_state(aspect=1.0))
+    sl, _, _ = r_big.shortlists(r_big.prepare(big.extract(with_bvh=False)),
+                                big.camera_state(aspect=1.0))
     assert sl is not None
 
 
@@ -219,3 +219,43 @@ def test_shortlist_builder_is_conservative_pointwise():
             for s_i in np.nonzero(hit)[0]:
                 if not np.all(sph[:, s_i] == sph[:, 0]) or s_i == 0:
                     assert s_i in idxs, (b, s_i)
+
+
+def test_shortlist_local_gather_bit_identical():
+    """Phase-A attribute gather from the per-block shortlist-local table must
+    be BIT-identical to the global-table gather (same bf16 hi/lo rows, local
+    one-hot selection)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bevyray_tpu.kernels.pallas.megakernel import (prepare_pallas_scene,
+                                                       render_tiles,
+                                                       unshuffle_blocks)
+    from bevyray_tpu.kernels.pallas.primary import shortlists_for
+
+    world = rtiow.final_scene(seed=42, grid=6)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=96, height=96, samples_per_pixel=2, bounces=3,
+                       level=3)
+    pscene = jax.jit(prepare_pallas_scene)(scene)
+    sl, meta, slattr = shortlists_for(np.asarray(pscene.sph), cam, cfg, 2,
+                                      attr=np.asarray(pscene.attr))
+    assert sl is not None and slattr is not None
+
+    def run(sa):
+        f = jax.jit(functools.partial(render_tiles, config=cfg,
+                                      exact_rng=True))
+        r, g, b, d, segs = f(pscene, cam, frame_seed=jnp.uint32(5),
+                             sl=jnp.asarray(sl), slmeta=jnp.asarray(meta),
+                             slattr=sa)
+        img = np.stack([np.asarray(unshuffle_blocks(x, cfg))
+                        for x in (r, g, b)], -1)
+        return img, float(segs)
+
+    with_local, segs_l = run(jnp.asarray(slattr))
+    with_global, segs_g = run(None)
+    np.testing.assert_array_equal(with_local, with_global)
+    assert segs_l == segs_g
