@@ -151,19 +151,11 @@ class AdaptiveRenderer:
         return self._pscene_cache[2]
 
     def _shortlists(self, pscene, cam: CameraState, cam_key):
-        from ..kernels.pallas.primary import shortlists_for
+        from ..kernels.pallas.primary import device_shortlists_for
         if self._sl_cache is not None and self._sl_cache[0] == cam_key:
             return self._sl_cache[1]
-        attr = np.asarray(pscene.attr) if pscene.tri.shape[1] == 0 else None
-        sl, slmeta, slattr = shortlists_for(np.asarray(pscene.sph), cam,
-                                            self.config,
-                                            self.config.samples_per_pixel,
-                                            attr=attr)
-        if sl is not None:
-            sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-        if slattr is not None:
-            slattr = jnp.asarray(slattr)
-        self._sl_cache = (cam_key, (sl, slmeta, slattr))
+        self._sl_cache = (cam_key, device_shortlists_for(
+            pscene, cam, self.config, self.config.samples_per_pixel))
         return self._sl_cache[1]
 
     def step(self, scene: SceneBuffers, cam: CameraState, seed: int) -> None:

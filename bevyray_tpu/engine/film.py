@@ -186,17 +186,16 @@ class ProgressiveRenderer:
             self.reset()
             self._last_cam_key = key
         if self.backend == "pallas":
-            from ..kernels.pallas.megakernel import (prepare_pallas_scene,
+            from ..kernels.pallas.megakernel import (jitted_prepare,
                                                      pscene_cache_key)
 
             # Key on all leaves prepare_pallas_scene bakes in (spheres,
             # materials, triangles); keep them alive so ids stay unique.
             sid, leaves = pscene_cache_key(scene)
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
-                self._prepare_cache = (sid, leaves,
-                                       jax.jit(functools.partial(
-                                           prepare_pallas_scene,
-                                           cand_size=self.config.pallas_cand_size))(scene))
+                self._prepare_cache = (
+                    sid, leaves,
+                    jitted_prepare(self.config.pallas_cand_size)(scene))
                 self._sl_cache = None
             pscene = self._prepare_cache[2]
             # Host-built primary shortlists for phase-split bounce 0 (cached;
@@ -207,16 +206,9 @@ class ProgressiveRenderer:
             if cache is not None and cache[0] == (sid, key):
                 sl, slmeta, slattr = cache[1]
             else:
-                from ..kernels.pallas.primary import shortlists_for
-                attr = (np.asarray(pscene.attr)
-                        if pscene.tri.shape[1] == 0 else None)
-                sl, slmeta, slattr = shortlists_for(
-                    np.asarray(pscene.sph), cam, self.config,
-                    self.config.samples_per_pixel, attr=attr)
-                if sl is not None:
-                    sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
-                if slattr is not None:
-                    slattr = jnp.asarray(slattr)
+                from ..kernels.pallas.primary import device_shortlists_for
+                sl, slmeta, slattr = device_shortlists_for(
+                    pscene, cam, self.config, self.config.samples_per_pixel)
                 self._sl_cache = ((sid, key), (sl, slmeta, slattr))
             self.film = self._accumulate(
                 film=self.film, pscene=pscene, cam=cam,

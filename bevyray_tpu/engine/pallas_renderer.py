@@ -95,9 +95,7 @@ class PallasRenderer:
         (None, None, None) when disabled/unworthwhile. Cached on (scene
         tables, camera, config); needs concrete camera values, so it runs
         outside jit."""
-        import numpy as np
-
-        from ..kernels.pallas.primary import shortlists_for
+        from ..kernels.pallas.primary import device_shortlists_for
         cam_key = tuple(
             float(v) for v in (cam.position.x, cam.position.y, cam.position.z,
                                cam.direction.x, cam.direction.y,
@@ -107,14 +105,8 @@ class PallasRenderer:
         key = (self._pscene_cache[0], cam_key)
         if self._sl_cache is not None and self._sl_cache[0] == key:
             return self._sl_cache[1]
-        attr = np.asarray(pscene.attr) if pscene.tri.shape[1] == 0 else None
-        sl, slmeta, slattr = shortlists_for(np.asarray(pscene.sph), cam,
-                                            self.config,
-                                            self.config.samples_per_pixel,
-                                            attr=attr)
-        out = ((None, None, None) if sl is None
-               else (jnp.asarray(sl), jnp.asarray(slmeta),
-                     None if slattr is None else jnp.asarray(slattr)))
+        out = device_shortlists_for(pscene, cam, self.config,
+                                    self.config.samples_per_pixel)
         self._sl_cache = (key, out)
         return out
 

@@ -94,6 +94,29 @@ def shortlists_for(sph: np.ndarray, cam, config, local_spp: int,
     return sl, meta, slattr
 
 
+def device_shortlists_for(pscene, cam, config, local_spp: int):
+    """``shortlists_for`` on a prepared :class:`PallasScene`, device-ready.
+
+    The one place the single-chip front-ends (PallasRenderer,
+    AdaptiveRenderer, ProgressiveRenderer) share the slattr contract: the
+    local attribute tables are only built for sphere-only scenes (triangle
+    columns would misalign the combined index space), and every non-None
+    result is converted to a device array. Returns ``(sl, slmeta, slattr)``
+    with Nones wherever the gate declined. (The sharded step keeps its own
+    call — it pads the block grid to the mesh and skips slattr by design.)
+    """
+    import jax.numpy as jnp
+
+    attr = np.asarray(pscene.attr) if pscene.tri.shape[1] == 0 else None
+    sl, slmeta, slattr = shortlists_for(np.asarray(pscene.sph), cam, config,
+                                        local_spp, attr=attr)
+    if sl is not None:
+        sl, slmeta = jnp.asarray(sl), jnp.asarray(slmeta)
+    if slattr is not None:
+        slattr = jnp.asarray(slattr)
+    return sl, slmeta, slattr
+
+
 def shortlist_attr_tables(sl: np.ndarray, meta: np.ndarray,
                           attr: np.ndarray):
     """Per-block attribute tables aligned with the shortlists (column j =

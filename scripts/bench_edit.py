@@ -79,7 +79,7 @@ def bench_edit_loop(width=1920, height=1080, spp=16, bounces=4, frames=12):
         stage["prepare"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        sl, slmeta = renderer.shortlists(pscene, cam)
+        sl, slmeta, slattr = renderer.shortlists(pscene, cam)
         stage["shortlists"].append(time.perf_counter() - t0)
 
         t0 = time.perf_counter()

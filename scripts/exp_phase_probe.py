@@ -30,7 +30,8 @@ def main():
     def time_eager(cfg, use_sl, label):
         r = PallasRenderer(cfg)
         pscene = r.prepare(scene)
-        sl, slmeta = r.shortlists(pscene, cam) if use_sl else (None, None)
+        sl, slmeta, _ = (r.shortlists(pscene, cam) if use_sl
+                         else (None, None, None))
 
         @jax.jit
         def jf(pscene, cam, seed, sl, slmeta):

@@ -1,8 +1,11 @@
 """Round-3d TPU probes: re-mask depth K at the headline + shipping check.
 
-REMASK_AT=2 is the shipped default after exp_round3c; this battery brackets K
+REMASK_AT=2 was the shipped default after exp_round3c; this battery brackets K
 and then times the exact shipping configuration (defaults, auto everything)
-the way bench.py does.
+the way bench.py does. (The knob was the int REMASK_AT when recorded; it later
+became the tuple REMASK_SCHEDULE=(k,) — same one-point semantics, so re-runs
+measure what the labels say. The shipped default moved to (5,) after
+exp_round3e/f.)
 """
 
 import dataclasses
@@ -44,13 +47,13 @@ def main():
     def run(name, cfg, k, n=6):
         uniq[0] += 1
         cfg = dataclasses.replace(cfg, sphere_chunk=uniq[0])
-        old = mk.REMASK_AT
-        mk.REMASK_AT = k
+        old = mk.REMASK_SCHEDULE
+        mk.REMASK_SCHEDULE = (k,)
         try:
             r = PallasRenderer(cfg)
             p50, rays = timeit(lambda s: r.render(scene, cam, seed=s), n=n)
         finally:
-            mk.REMASK_AT = old
+            mk.REMASK_SCHEDULE = old
         print(json.dumps({"probe": name, "p50_ms": round(p50 * 1e3, 2),
                           "mrays": round(rays / p50 / 1e6, 1)}), flush=True)
 

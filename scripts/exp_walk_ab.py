@@ -24,7 +24,7 @@ def main():
                        level=3)
     r = PallasRenderer(cfg)
     pscene = r.prepare(scene)
-    sl, slmeta = r.shortlists(pscene, cam)
+    sl, slmeta, _ = r.shortlists(pscene, cam)
 
     for walk_all in (32, 0):
         mk.SL_WALK_ALL_MAX = walk_all
