@@ -109,6 +109,20 @@ SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # early-out even at k_cap=24 — the per-chunk consensus
                        # reduce earns its keep; kept as a testable path)
 _DEBUG_STATIC_FETCH = False   # timing probe only (wrong images): see fetch()
+# Phase-A cost-decomposition ablations (timing probes ONLY — wrong images;
+# run at bounces=0 so phase B never sees the perturbed state). Subset of:
+#   "no_compact"   skip the redirect-compaction pass
+#   "no_st"        skip parking the per-sample state in VMEM scratch
+#   "no_scatter"   skip scatter draws + scatter math (rays pass through)
+#   "no_jitter"    fixed 0.5/0.5 pixel jitter (skips the RNG jitter draws)
+#   "no_intersect" every ray misses (skips the shortlist walk)
+#   "no_harvest"   skip the gamma/accumulate step
+_DEBUG_PHASEA = frozenset()
+# Value-identical candidate: python-unroll the phase-A sample loop the way the
+# walk prefix is unrolled (exp_round3f mechanism — the fori_loop round-trips
+# the 5-array accumulator carry through VMEM each sample and pays the loop
+# bookkeeping; an unrolled body keeps the accumulators register-resident).
+PHASEA_UNROLL = False
 
 # Combined attribute table rows (one-hot gather): centers hi/lo, materials hi/lo.
 _C_HI, _C_LO = 0, 3            # cx, cy, cz
@@ -1014,7 +1028,10 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
     def raygen(provider):
         """Jittered primary ray (random_ray_from_uv, wgsl:139-156)."""
-        ju, jv = provider.jitter()
+        if "no_jitter" in _DEBUG_PHASEA:  # timing probe: centered rays
+            ju = jv = jnp.float32(0.5)
+        else:
+            ju, jv = provider.jitter()
         h_px = cam_ref[0, C_HEIGHT]
         w_px = h_px * aspect
         ndc_x = (u * 2.0 - 1.0) + (ju - 0.5) / w_px
@@ -1060,7 +1077,10 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         ``intersect_fn`` may return a third value — the LOCAL shortlist slot
         — in which case attributes gather from the per-block shortlist attr
         table (bit-identical rows, a ~16× narrower one-hot)."""
-        res = (intersect_fn or intersect_full)(o, d, active)
+        if "no_intersect" in _DEBUG_PHASEA:  # timing probe: every ray misses
+            res = (jnp.full_like(o.x, INF), jnp.zeros_like(o.x, jnp.int32))
+        else:
+            res = (intersect_fn or intersect_full)(o, d, active)
         t, idx = res[0], res[1]
         s_loc = res[2] if len(res) == 3 else None
         if n_tris_padded:
@@ -1110,6 +1130,10 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         )
         radiance = Vec3.where(active_hit,
                               radiance + ray_color * mat.emissive, radiance)
+
+        if "no_scatter" in _DEBUG_PHASEA:  # timing probe: rays pass through
+            o = Vec3.where(active_hit, hit.position, o)
+            return o, d, ray_color, radiance, first_depth, active_hit
 
         u_metal, u_trans, u_reflect, ball1, ball2 = provider.scatter_draws(b_vec)
         sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2,
@@ -1176,19 +1200,25 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             return cr, cg, cb, dsum
 
         def phase_a(s, acc):
+            # ``s`` is a traced i32 scalar under fori_loop, a static python
+            # int under PHASEA_UNROLL (static slot ⇒ static st_write slices).
+            s_arr = jnp.int32(s)
             cr, cg, cb, dsum, segsum = acc
-            act = in_image & (s < target)
-            provider = make_provider(s)
+            act = in_image & (s_arr < target)
+            provider = make_provider(s_arr)
             o, d = raygen(provider)
             o, d, rc, rad, fd, cont = bounce_core(
-                o, d, act, s * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
+                o, d, act, s_arr * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
                 Vec3.full(n, 0.0, 0.0, 0.0), jnp.full(n, INF, jnp.float32),
                 intersect_fn=intersect_primary)
             if config.bounces < 1:
                 cont = cont & False
             died = act & ~cont
-            cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+            if "no_harvest" not in _DEBUG_PHASEA:
+                cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
             segsum = segsum + jnp.where(act, 1.0, 0.0)
+            if "no_st" in _DEBUG_PHASEA:  # timing probe: skip state parking
+                return cr, cg, cb, dsum, segsum
             for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
                            (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
                            (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
@@ -1196,24 +1226,32 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                            (ST_RADZ, rad.z), (ST_FD, fd),
                            (ST_W, jnp.where(cont, 1.0, 0.0)),
                            (ST_SID, jnp.broadcast_to(
-                               s.astype(jnp.float32), n))):
+                               s_arr.astype(jnp.float32), n))):
                 st_write(s, f, val)
             return cr, cg, cb, dsum, segsum
 
-        cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
-            0, spp_s, phase_a, (zero2, zero2, zero2, zero2, zero2))
+        acc0 = (zero2, zero2, zero2, zero2, zero2)
+        if PHASEA_UNROLL:
+            acc = acc0
+            for s in range(spp_s):
+                acc = phase_a(s, acc)
+            cr, cg, cb, dsum, segsum = acc
+        else:
+            cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
+                0, spp_s, phase_a, acc0)
 
         # Redirect compaction: slot s comes to hold the state of the first
         # ALIVE slot ≥ s (with its true sample id), so phase B's "next sample"
         # is always slot (consumed sid + 1) — no per-lane scanning.
-        cur = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
-        cur[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
-        for s in reversed(range(spp_s)):
-            slot = [st_read(s, f) for f in range(N_ST)]
-            alive = slot[ST_W] > 0.0
-            cur = [jnp.where(alive, slot[f], cur[f]) for f in range(N_ST)]
-            for f in range(N_ST):
-                st_ref[s, f * TILE_SUB:(f + 1) * TILE_SUB, :] = cur[f]
+        if "no_compact" not in _DEBUG_PHASEA:
+            cur = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
+            cur[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
+            for s in reversed(range(spp_s)):
+                slot = [st_read(s, f) for f in range(N_ST)]
+                alive = slot[ST_W] > 0.0
+                cur = [jnp.where(alive, slot[f], cur[f]) for f in range(N_ST)]
+                for f in range(N_ST):
+                    st_ref[s, f * TILE_SUB:(f + 1) * TILE_SUB, :] = cur[f]
 
         if config.bounces >= 1:
             def fetch(slot_vec):

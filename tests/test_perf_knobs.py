@@ -1,0 +1,47 @@
+"""Shipped perf knobs are value-identical program transformations.
+
+The suite runs with the CHEAP knob settings (conftest: no walk-prefix unroll,
+no phase-B/phase-A unrolling) because the unrolled programs are 2-16x larger
+and XLA-CPU compile time is superlinear in program size. This file is the
+suite's coverage of the SHIPPED settings: one render with every shipped knob
+active (candidates walk forced so REMASK_SCHEDULE applies, phase split on so
+PHASEA_UNROLL/PHASEB_UNROLL apply) asserted bit-identical against the cheap
+baseline. Any knob that changes a single image bit fails here.
+"""
+
+import numpy as np
+
+from conftest import CHEAP_KNOBS, SHIPPED_KNOBS
+
+from bevyray_tpu import RenderConfig, rtiow
+from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+from bevyray_tpu.kernels.pallas import megakernel as mk
+
+
+def _render(world, knobs, chunk):
+    old = {k: getattr(mk, k) for k in knobs}
+    for k, v in knobs.items():
+        setattr(mk, k, v)
+    try:
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=1.0)
+        # Distinct sphere_chunk => distinct compiled program per arm (padding
+        # is value-inert), so the second arm cannot ride the first's cache.
+        cfg = RenderConfig(width=64, height=64, samples_per_pixel=4, bounces=3,
+                          level=3, pallas_intersect="candidates",
+                          pallas_primary="split", sphere_chunk=chunk)
+        return PallasRenderer(cfg, exact_rng=True).render(scene, cam, seed=9)
+    finally:
+        for k, v in old.items():
+            setattr(mk, k, v)
+
+
+def test_shipped_knobs_bit_identical_to_cheap_suite_knobs():
+    world = rtiow.final_scene(seed=5, grid=4)
+    cheap = _render(world, CHEAP_KNOBS, chunk=128)
+    ship = _render(world, SHIPPED_KNOBS, chunk=132)
+    assert float(ship.rays_traced) == float(cheap.rays_traced)
+    np.testing.assert_array_equal(np.asarray(ship.image),
+                                  np.asarray(cheap.image))
+    np.testing.assert_array_equal(np.asarray(ship.rt_depth),
+                                  np.asarray(cheap.rt_depth))
