@@ -45,3 +45,25 @@ def test_shipped_knobs_bit_identical_to_cheap_suite_knobs():
                                   np.asarray(cheap.image))
     np.testing.assert_array_equal(np.asarray(ship.rt_depth),
                                   np.asarray(cheap.rt_depth))
+
+
+def test_phase_a_ablation_knobs_still_compile():
+    """The _DEBUG_PHASEA timing probes (scripts/exp_round3h.py) are dead code
+    in production; this smoke test keeps them buildable so the next perf
+    session's battery doesn't start from a bit-rotted kernel. All knobs at
+    once, bounces=0 (the battery's configuration), tiny frame — output values
+    are intentionally wrong and only sanity-checked for shape/finiteness."""
+    world = rtiow.final_scene(seed=5, grid=3)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    old = mk._DEBUG_PHASEA
+    mk._DEBUG_PHASEA = frozenset({"no_compact", "no_st", "no_scatter",
+                                  "no_jitter", "no_intersect", "no_harvest"})
+    try:
+        cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=0,
+                           level=3, pallas_primary="split", sphere_chunk=136)
+        f = PallasRenderer(cfg, exact_rng=True).render(scene, cam, seed=3)
+        img = np.asarray(f.image)
+    finally:
+        mk._DEBUG_PHASEA = old
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
