@@ -248,10 +248,19 @@ def main(argv=None):
                             "(0 = off, extension)")
         s.add_argument("--denoise-sigma-color", type=float, default=0.25)
         s.add_argument("--denoise-sigma-depth", type=float, default=0.5)
+        s.add_argument("--platform", default="auto",
+                       choices=["auto", "cpu", "tpu"],
+                       help="JAX platform override, applied before any "
+                            "backend is initialized (boxes whose "
+                            "sitecustomize force-registers a TPU ignore "
+                            "JAX_PLATFORMS; this flag still works)")
         s.add_argument("--out", default="frame.png")
         s.add_argument("--frames", type=int, default=8)
         s.add_argument("--passes", type=int, default=8)
     args = p.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 

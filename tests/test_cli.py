@@ -69,3 +69,17 @@ def test_cli_render_pallas_backend(tmp_path):
                "--spp", "1", "--bounces", "2", "--backend", "pallas", "--out", out])
     assert rc == 0
     assert os.path.getsize(out) > 100
+
+
+def test_cli_platform_flag(tmp_path, capsys):
+    # --platform is applied before backend init (this box's sitecustomize
+    # force-registers a TPU and ignores JAX_PLATFORMS; the flag must still
+    # work). Under the suite the platform is already cpu, so this checks the
+    # flag parses, the update is a no-op re-set, and the render completes.
+    out = str(tmp_path / "p.png")
+    rc = main(["render", "--scene", "simple", "--width", "16", "--height",
+               "16", "--spp", "1", "--bounces", "1", "--platform", "cpu",
+               "--out", out])
+    assert rc == 0
+    assert os.path.getsize(out) > 100
+    assert "Mrays/s" in capsys.readouterr().out
