@@ -56,14 +56,24 @@ def test_phase_a_ablation_knobs_still_compile():
     world = rtiow.final_scene(seed=5, grid=3)
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=1.0)
-    old = mk._DEBUG_PHASEA
-    mk._DEBUG_PHASEA = frozenset({"no_compact", "no_st", "no_scatter",
-                                  "no_jitter", "no_intersect", "no_harvest"})
-    try:
-        cfg = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=0,
-                           level=3, pallas_primary="split", sphere_chunk=136)
-        f = PallasRenderer(cfg, exact_rng=True).render(scene, cam, seed=3)
+
+    def render(ablate, unroll, chunk):
+        old = mk._DEBUG_PHASEA, mk.PHASEA_UNROLL
+        mk._DEBUG_PHASEA = frozenset(ablate)
+        mk.PHASEA_UNROLL = unroll
+        try:
+            cfg = RenderConfig(width=32, height=32, samples_per_pixel=2,
+                               bounces=0, level=3, pallas_primary="split",
+                               sphere_chunk=chunk)
+            f = PallasRenderer(cfg, exact_rng=True).render(scene, cam, seed=3)
+        finally:
+            mk._DEBUG_PHASEA, mk.PHASEA_UNROLL = old
         img = np.asarray(f.image)
-    finally:
-        mk._DEBUG_PHASEA = old
-    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+        assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+    render({"no_compact", "no_st", "no_scatter", "no_jitter", "no_intersect",
+            "no_harvest"}, unroll=False, chunk=136)
+    # PHASEA_UNROLL measured -1.8% and ships False, so this is the only thing
+    # keeping its static-slot st_write/compaction path buildable (state
+    # parking must be ACTIVE here — that is the path the unroll changes).
+    render((), unroll=True, chunk=140)
