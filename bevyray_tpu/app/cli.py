@@ -48,7 +48,8 @@ def _config(args):
                         diffuse_sampling=args.diffuse_sampling,
                         pallas_intersect=args.pallas_intersect,
                         pallas_primary=args.pallas_primary,
-                        pallas_cand_size=args.pallas_cand_size)
+                        pallas_cand_size=args.pallas_cand_size,
+                        pallas_grouping=args.pallas_grouping)
 
 
 def _denoised(image, frame, args, raster_depth, cam):
@@ -237,6 +238,11 @@ def main(argv=None):
                        choices=["auto", "split", "off"],
                        help="megakernel bounce-0 strategy (auto: coherent "
                             "shortlist phase when spp <= 32)")
+        s.add_argument("--pallas-grouping", default="kd",
+                       choices=["kd", "morton"],
+                       help="sphere-table order for the culling groups (kd: "
+                            "spatially tight equal-size clusters; morton: "
+                            "space-filling-curve runs)")
         s.add_argument("--diffuse-sampling", default="reference",
                        choices=["reference", "cosine"])
         s.add_argument("--adaptive-tolerance", type=float, default=0.0,

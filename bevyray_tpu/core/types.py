@@ -193,6 +193,12 @@ class RenderConfig:
     # smallest multiple of CAND_UNIT that keeps the per-lane group count
     # within the two-word (62-group) bitmask.
     pallas_cand_size: int = 0
+    # Sphere-table ordering for the megakernel's culling groups: "kd" =
+    # host-side equal-size spatially-tight clusters aligned to the candidate
+    # grid (kernels/pallas/grouping.py — cuts slab-entered groups ~2x on
+    # dense scenes, measured); "morton" = the round-1..3 in-jit morton sort.
+    # Pure permutation — hit results are value-identical either way.
+    pallas_grouping: str = "kd"
 
     def __post_init__(self):
         # Fail at construction with actionable messages — these values shape
@@ -218,7 +224,8 @@ class RenderConfig:
                                ("diffuse_sampling", ("reference", "cosine")),
                                ("pallas_intersect",
                                 ("auto", "grouped", "candidates")),
-                               ("pallas_primary", ("auto", "split", "off"))):
+                               ("pallas_primary", ("auto", "split", "off")),
+                               ("pallas_grouping", ("kd", "morton"))):
             v = getattr(self, field)
             if v not in allowed:
                 raise ValueError(f"{field}={v!r} must be one of {allowed}")

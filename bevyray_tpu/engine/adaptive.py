@@ -146,7 +146,9 @@ class AdaptiveRenderer:
                                                  pscene_cache_key)
         key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is None or self._pscene_cache[0] != key:
-            self._pscene_cache = (key, leaves, jitted_prepare(self.config.pallas_cand_size)(scene))
+            self._pscene_cache = (key, leaves,
+                                  jitted_prepare(self.config.pallas_cand_size,
+                                                 self.config.pallas_grouping)(scene))
             self._sl_cache = None
         return self._pscene_cache[2]
 

@@ -195,7 +195,8 @@ class ProgressiveRenderer:
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
                 self._prepare_cache = (
                     sid, leaves,
-                    jitted_prepare(self.config.pallas_cand_size)(scene))
+                    jitted_prepare(self.config.pallas_cand_size,
+                                   self.config.pallas_grouping)(scene))
                 self._sl_cache = None
             pscene = self._prepare_cache[2]
             # Host-built primary shortlists for phase-split bounce 0 (cached;

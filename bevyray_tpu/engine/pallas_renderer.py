@@ -84,7 +84,8 @@ class PallasRenderer:
         key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
             return self._pscene_cache[2]
-        pscene = jitted_prepare(self.config.pallas_cand_size)(scene)
+        pscene = jitted_prepare(self.config.pallas_cand_size,
+                                self.config.pallas_grouping)(scene)
         self._pscene_cache = (key, leaves, pscene)
         return pscene
 

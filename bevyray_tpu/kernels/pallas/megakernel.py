@@ -1506,8 +1506,8 @@ def _auto_cand_size(s: int) -> int:
     return CAND_UNIT * (-(-(s // CAND_UNIT) // MAX_CAND_GROUPS))
 
 
-def prepare_pallas_scene(scene: SceneBuffers,
-                         cand_size: int = 0) -> PallasScene:
+def prepare_pallas_scene(scene: SceneBuffers, cand_size: int = 0,
+                         order=None) -> PallasScene:
     """Resolve material indirection to a dense per-primitive table and split
     bf16x2.
 
@@ -1515,13 +1515,24 @@ def prepare_pallas_scene(scene: SceneBuffers,
     0 = the :func:`_auto_cand_size` rule). Static — it shapes the gather
     table layout the kernel compiles against.
 
+    ``order``: optional sphere-table permutation (the host-computed kd cluster
+    order from kernels.pallas.grouping — the shipping default via
+    jitted_prepare; it cuts slab-entered groups ~2x on dense scenes). None
+    falls back to the in-jit morton argsort. Group/candidate AABBs are unions
+    over consecutive runs of this order, so it is purely a culling-quality
+    knob: hit results are value-identical for any permutation (each sphere is
+    tested with identical arithmetic whenever its group is entered, and a
+    sphere's own group always passes the slab test).
+
     Runs once per scene revision (jit-cached by shapes); the reference re-uploads
     equivalent tables every frame (extract.rs:334-336) — here they persist.
     """
     sp = scene.spheres
     mt = scene.materials
 
-    order = jnp.argsort(_morton_key(sp.cx, sp.cy, sp.cz, sp.radius, sp.valid))
+    if order is None:
+        order = jnp.argsort(_morton_key(sp.cx, sp.cy, sp.cz, sp.radius,
+                                        sp.valid))
     sp = type(sp)(*(leaf[order] for leaf in sp))
 
     mid = jnp.clip(sp.material_id, 0, mt.capacity - 1)
@@ -1684,13 +1695,26 @@ def prepare_pallas_scene(scene: SceneBuffers,
     return PallasScene(sph=sph, attr=attr, gaabb=gaabb, tri=tri, grp=grp)
 
 
-@functools.lru_cache(maxsize=4)
-def jitted_prepare(cand_size: int = 0):
-    """The shared jitted prepare_pallas_scene wrapper — one jit cache per
-    candidate-group size for every front-end (PallasRenderer,
-    AdaptiveRenderer, the sharded step)."""
-    return jax.jit(functools.partial(prepare_pallas_scene,
-                                     cand_size=cand_size))
+@functools.lru_cache(maxsize=8)
+def jitted_prepare(cand_size: int = 0, grouping: str = "kd"):
+    """The shared prepare_pallas_scene wrapper — one cache entry per
+    (candidate-group size, grouping) for every front-end (PallasRenderer,
+    AdaptiveRenderer, the sharded step).
+
+    ``grouping="kd"`` computes the host-side kd cluster permutation
+    (kernels.pallas.grouping) and feeds it to the jitted core as an array
+    argument; ``"morton"`` keeps the in-jit morton argsort."""
+    inner = jax.jit(functools.partial(prepare_pallas_scene,
+                                      cand_size=cand_size))
+    if grouping == "morton":
+        return inner
+
+    from .grouping import cached_order
+
+    def prep(scene):
+        return inner(scene, order=cached_order(scene, cand_size))
+
+    return prep
 
 
 def _pack_camera(cam: CameraState, config: RenderConfig):

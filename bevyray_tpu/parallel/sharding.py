@@ -250,9 +250,12 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
 
     @jax.jit
     def step(scene, cam, frame_seed, raster_color, raster_depth,
-             sl=None, slmeta=None):
+             sl=None, slmeta=None, order=None):
+        # ``order``: host-computed kd grouping permutation (grouping.py),
+        # passed in because data-dependent clustering can't trace; None =
+        # in-jit morton sort (config.pallas_grouping == "morton").
         pscene = prepare_pallas_scene(
-            scene, cand_size=config.pallas_cand_size)
+            scene, cand_size=config.pallas_cand_size, order=order)
         if sl is None:
             rt, rt_depth, segs = sharded(pscene, cam, frame_seed)
         else:
@@ -312,8 +315,14 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
     sl = slmeta = None
     sp, dp = mesh.shape["sp"], mesh.shape["dp"]
     local_spp = config.samples_per_pixel // max(dp, 1)
+    from ..kernels.pallas.grouping import cached_order
     from ..kernels.pallas.megakernel import block_grid, jitted_prepare
     from ..kernels.pallas.primary import shortlists_for
+    # The kd permutation feeds the jitted step as an array argument (the
+    # host clustering can't trace); cached_order keeps it once per scene.
+    # The shortlist build below must index the SAME prepared order.
+    order = (cached_order(scene, config.pallas_cand_size)
+             if config.pallas_grouping == "kd" else None)
     key, leaves = _pallas_scene_key(scene, cam, config, sp, dp)
     cached = _SHARDED_SL_CACHE.get(key)
     if cached is not None:
@@ -322,7 +331,8 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
     else:
         nbx, nby = block_grid(config)
         n_blocks_padded = -(-(nbx * nby) // sp) * sp
-        pscene = jitted_prepare(config.pallas_cand_size)(scene)
+        pscene = jitted_prepare(config.pallas_cand_size,
+                                config.pallas_grouping)(scene)
         # The sharded step keeps the global attribute gather (no slattr):
         # shipping per-shard local tables through shard_map adds a third
         # sharded operand for a ~2% single-chip win — not worth the spec
@@ -337,4 +347,4 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
         while len(_SHARDED_SL_CACHE) > _SHARDED_SL_CACHE_MAX:
             _SHARDED_SL_CACHE.popitem(last=False)
     return step(scene, cam, jnp.uint32(frame_seed), raster_color, raster_depth,
-                sl=sl, slmeta=slmeta)
+                sl=sl, slmeta=slmeta, order=order)
