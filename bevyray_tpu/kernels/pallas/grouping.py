@@ -36,8 +36,18 @@ import numpy as np
 
 __all__ = ["kd_order", "cached_order"]
 
+# Split-rule knob: "sah" picks, at every kd split, the (axis, grid-aligned
+# cut) minimizing count-weighted surface area of the two halves' c±r boxes
+# (prefix/suffix scans, O(n) per axis); "median" is the widest-center-axis
+# grid-aligned median cut SAH generalizes. Replay pre-screen
+# (scripts/exp_kd_sah.py): headline gc=16 mean entered groups 2.53 → 2.11
+# (−17%), straggler 8.4 → 7.8; dense scene parity. Either value is a pure
+# permutation — images are bit-identical; only culling quality moves.
+KD_RULE = "median"
 
-def kd_order(cx, cy, cz, radius, valid, gc: int) -> np.ndarray:
+
+def kd_order(cx, cy, cz, radius, valid, gc: int,
+             rule: str | None = None) -> np.ndarray:
     """Permutation of the sphere table into equal-size spatially-tight
     clusters aligned to the ``gc``-sphere candidate-group grid.
 
@@ -45,6 +55,7 @@ def kd_order(cx, cy, cz, radius, valid, gc: int) -> np.ndarray:
     revision — the reference rebuilds its BVH every frame (extract.rs:316-321),
     so a per-revision host sort is strictly cheaper than its baseline.
     """
+    rule = KD_RULE if rule is None else rule
     cx, cy, cz = (np.asarray(v, np.float32) for v in (cx, cy, cz))
     r = np.abs(np.asarray(radius, np.float32))
     live = np.asarray(valid, bool) & (r > 0)
@@ -54,6 +65,11 @@ def kd_order(cx, cy, cz, radius, valid, gc: int) -> np.ndarray:
     out = list(np.flatnonzero(big))
     rest = np.flatnonzero(live & ~big)
 
+    def sa(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                + d[..., 0] * d[..., 2])
+
     def split(idx, offset):
         # ``offset`` = global position of idx[0] in the final order; cuts are
         # aligned to the gc grid so every group is a whole cluster (the first
@@ -62,10 +78,32 @@ def kd_order(cx, cy, cz, radius, valid, gc: int) -> np.ndarray:
         if len(idx) <= room:
             out.extend(idx)
             return
-        ax = int(np.ptp(c[idx], axis=0).argmax())
-        order = idx[np.argsort(c[idx, ax], kind="stable")]
-        half = len(idx) // 2
-        cut = room + max(0, (half - room) // gc) * gc if half >= room else room
+        n = len(idx)
+        if rule == "sah":
+            # Min over (axis, grid-aligned cut) of nl·SA(left) + nr·SA(right),
+            # boxes over c±r so big-radius members count.
+            cuts = np.arange(room, n, gc)
+            best = None
+            for ax in range(3):
+                order_ax = idx[np.argsort(c[idx, ax], kind="stable")]
+                lo = c[order_ax] - r[order_ax, None]
+                hi = c[order_ax] + r[order_ax, None]
+                pre_mn = np.minimum.accumulate(lo, 0)
+                pre_mx = np.maximum.accumulate(hi, 0)
+                suf_mn = np.minimum.accumulate(lo[::-1], 0)[::-1]
+                suf_mx = np.maximum.accumulate(hi[::-1], 0)[::-1]
+                cost = (cuts * sa(pre_mn[cuts - 1], pre_mx[cuts - 1])
+                        + (n - cuts) * sa(suf_mn[cuts], suf_mx[cuts]))
+                k = int(cost.argmin())
+                if best is None or cost[k] < best[0]:
+                    best = (float(cost[k]), order_ax, int(cuts[k]))
+            _, order, cut = best
+        else:
+            ax = int(np.ptp(c[idx], axis=0).argmax())
+            order = idx[np.argsort(c[idx, ax], kind="stable")]
+            half = n // 2
+            cut = (room + max(0, (half - room) // gc) * gc
+                   if half >= room else room)
         split(order[:cut], offset)
         split(order[cut:], offset + cut)
 
@@ -92,7 +130,7 @@ def cached_order(scene, cand_size: int = 0):
 
     sp = scene.spheres
     leaves = jax.tree.leaves(sp)
-    key = (tuple(id(x) for x in leaves), int(cand_size))
+    key = (tuple(id(x) for x in leaves), int(cand_size), KD_RULE)
     hit = _ORDER_CACHE.get(key)
     if hit is not None:
         _ORDER_CACHE.move_to_end(key)

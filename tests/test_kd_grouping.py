@@ -62,6 +62,41 @@ def test_kd_order_is_an_aligned_quarantined_permutation():
     assert box_volume(perm) < box_volume(morton)
 
 
+def test_kd_sah_rule_is_an_aligned_quarantined_permutation():
+    """rule="sah" (the count-weighted surface-area cut) obeys the same
+    structural invariants as the median rule and does not lose on the
+    objective it greedily optimizes (total group surface area)."""
+    cx, cy, cz, radius, valid = _scene_arrays(rtiow.final_scene(seed=11))
+    gc = 16
+    sah = kd_order(cx, cy, cz, radius, valid, gc, rule="sah")
+    med = kd_order(cx, cy, cz, radius, valid, gc)
+    n = cx.shape[0]
+    assert sorted(sah.tolist()) == list(range(n))
+    np.testing.assert_array_equal(
+        sah, kd_order(cx, cy, cz, radius, valid, gc, rule="sah"))
+    r = np.abs(radius)
+    live = valid & (r > 0)
+    ext = (np.stack([cx, cy, cz], 1)[live].max(0)
+           - np.stack([cx, cy, cz], 1)[live].min(0)).max()
+    big = live & (r > 0.25 * ext)
+    n_big, n_live = int(big.sum()), int(live.sum())
+    assert big[sah[:n_big]].all()
+    assert not live[sah[n_live:]].any()
+
+    def sa_total(order):
+        c = np.stack([cx, cy, cz])[:, order]
+        rr = r[order]
+        lv = live[order]
+        k = n // gc
+        mins = np.where(lv, c - rr, np.inf)[:, :k * gc].reshape(3, k, gc).min(2)
+        maxs = np.where(lv, c + rr, -np.inf)[:, :k * gc].reshape(3, k, gc).max(2)
+        d = np.clip(maxs - mins, 0, None)
+        s = d[0] * d[1] + d[1] * d[2] + d[0] * d[2]
+        return float(np.where(np.isfinite(s), s, 0.0)[1:].sum())
+
+    assert sa_total(sah) <= sa_total(med)
+
+
 def _render(grouping, chunk, intersect, world, cand_size=0):
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=1.0)
