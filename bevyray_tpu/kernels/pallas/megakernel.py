@@ -531,11 +531,15 @@ def _intersect_shortlist(origin: Vec3, direction: Vec3, sl_ref, meta_ref,
 _LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
                       (0xAAAAAAAA, 0xCCCCCCCC, 0xF0F0F0F0, 0xFF00FF00,
                        0x7FFF0000))
-# Per-lane candidate masks are TWO i32 words (groups 0-30 in word 0, 31-61 in
-# word 1): 62 groups before the builder has to coarsen group size — half the
-# per-lane culling granularity loss of the round-2 single-word cap at any
-# given scene size (VERDICT r2 items 1a/3).
+# Per-lane candidate masks are N i32 words of 31 group bits each (word g//31,
+# bit g%31). The AUTO group-size rule targets TWO words (62 groups — measured
+# best at reference scale, round 3); an explicit pallas_cand_size may go as
+# fine as MAX_CAND_WORDS words before the table builder refuses. Extra words
+# cost ~2 vector ops each in the word-select/clear chains per walk step —
+# worthwhile only when finer groups cut gathered-sphere bytes materially
+# (the dense-scene question; see scripts/exp_dense48_ab.py).
 MAX_CAND_GROUPS = 62
+MAX_CAND_WORDS = 4
 CAND_UNIT = 16   # finest candidate-group size (and its required multiple)
 
 
@@ -633,7 +637,8 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     n_chunks = gc // chunk
     n32 = n_spheres // GROUP
     n_cand = -(-n_spheres // gc)
-    assert n_cand <= MAX_CAND_GROUPS
+    assert n_cand <= 31 * MAX_CAND_WORDS
+    n_words = -(-n_cand // 31)
     if gc == GROUP:
         cand_off = 0
     else:
@@ -642,16 +647,15 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     g_pad = grp_table.shape[1] // 3
 
     # ---- phase A: per-lane candidate bitmasks (slab test per group AABB) ---
-    # TWO i32 words per lane: groups 0-30 in word 0, 31-61 in word 1 (bit 31
-    # of each word stays clear so the values remain positive).
+    # ``n_words`` i32 words per lane: group g lives in word g//31, bit g%31
+    # (bit 31 of each word stays clear so the values remain positive).
     def build_mask(best_q, keep_ties=False):
         """Bit g set iff group g's AABB is entered ahead of the lane's current
         best hit (a·t_near rescale as in _intersect_grouped). ``keep_ties``
         (the mid-walk re-mask) prunes only strictly-later groups, so an
         exact a·t_near == best_q fp coincidence can never drop a sphere that
         could still win a lower-index q tie."""
-        mask0 = jnp.zeros((TILE_SUB, 128), jnp.int32)
-        mask1 = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        masks = [jnp.zeros((TILE_SUB, 128), jnp.int32) for _ in range(n_words)]
         for g in range(n_cand):
             col = cand_off + g
             tx1 = (gaabb_ref[0, col] - ox) * idx
@@ -670,13 +674,10 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             ahead = (near_q <= best_q) if keep_ties else (near_q < best_q)
             useful = (t_far >= t_near) & (t_far > 0.0) & ahead
             bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
-            if g < 31:
-                mask0 = mask0 | bit
-            else:
-                mask1 = mask1 | bit
-        return (jnp.where(active, mask0, 0), jnp.where(active, mask1, 0))
+            masks[g // 31] = masks[g // 31] | bit
+        return tuple(jnp.where(active, m, 0) for m in masks)
 
-    mask0, mask1 = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
+    masks = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
 
     # Group ids repeated for the hi|mid|lo column blocks (static concat — no
     # vector modulo, which Mosaic lowers poorly).
@@ -724,10 +725,9 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             return bq, bi
         return run
 
-    def clear_bit(mask0, mask1, g, clear):
-        if g < 31:
-            return mask0 & clear, mask1
-        return mask0, mask1 & clear
+    def clear_bit(masks, g, clear):
+        return tuple(m & clear if i == g // 31 else m
+                     for i, m in enumerate(masks))
 
     if BRUTE_FIRST_GROUPS > 0:
         # Unconditional: the leading (quarantine) groups are wanted by nearly
@@ -735,15 +735,13 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
         # bits shortens every lane's walk, straggler included.
         for g in range(min(BRUTE_FIRST_GROUPS, n_cand)):
             best_q, best_i = brute_group(g)((best_q, best_i))
-            mask0, mask1 = clear_bit(mask0, mask1, g,
-                                     np.int32(~(1 << (g % 31))))
+            masks = clear_bit(masks, g, np.int32(~(1 << (g % 31))))
 
     if POP_BRUTE_FRAC > 0.0:
         thresh = np.float32(POP_BRUTE_FRAC * TILE)
         for g in range(BRUTE_FIRST_GROUPS, n_cand):
             bit = np.int32(1 << (g % 31))
-            m = mask0 if g < 31 else mask1
-            pop = jnp.sum(jnp.where((m & bit) != 0, 1.0, 0.0))
+            pop = jnp.sum(jnp.where((masks[g // 31] & bit) != 0, 1.0, 0.0))
             do = pop > thresh
             # Tiny cond carry (the two result arrays) — the allowed pattern.
             best_q, best_i = jax.lax.cond(do, brute_group(g), lambda c: c,
@@ -753,13 +751,16 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             # true, e.g. t_near ≈ 0 on the ground), which is why the round-2
             # seeding probe saved no walk steps.
             clear = jnp.where(do, np.int32(~(1 << (g % 31))), np.int32(-1))
-            mask0, mask1 = clear_bit(mask0, mask1, g, clear)
+            masks = clear_bit(masks, g, clear)
 
     def walk_cond(carry):
-        return jnp.max(carry[0] | carry[1]) > 0
+        live = carry[0][0]
+        for m in carry[0][1:]:
+            live = live | m
+        return jnp.max(live) > 0
 
     def walk_body(carry):
-        mask0, mask1, bq, bi = carry
+        masks, bq, bi = carry
         # One candidate step for every lane: extract each lane's lowest-set
         # group id tile-wide (word 0 first — ascending group order keeps the
         # brute walk's index-ordered tie-keeping), gather ALL rows' candidate
@@ -767,13 +768,19 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
         # slower: per-issue overhead + per-row (128,128) accumulator streaming
         # dominated), then test per row against register-resident (chunk, 128)
         # slices.
-        use0 = mask0 > 0
-        word = jnp.where(use0, mask0, mask1)
+        # First non-empty word wins (ascending group order keeps the brute
+        # walk's index-ordered tie-keeping); ``off`` tracks its 31·i base.
+        word = masks[0]
+        off = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        for i in range(1, n_words):
+            nxt = word == 0
+            word = jnp.where(nxt, masks[i], word)
+            off = jnp.where(nxt, jnp.int32(31 * i), off)
         lsb = word & (-word)
-        # Exhausted lanes (both words 0) land on group 0 — a harmless re-test
+        # Exhausted lanes (all words 0) land on group 0 — a harmless re-test
         # (every sphere lies inside its group box, so the lane either
         # reproduces its old q and loses the strict < tie, or rejects again).
-        g_lane = _lsb_index(lsb) + jnp.where(use0 | (word == 0), 0, 31)
+        g_lane = _lsb_index(lsb) + jnp.where(word == 0, 0, off)
         onehot = jnp.concatenate(
             [(iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
              for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
@@ -833,17 +840,23 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
                 rows_i[r] = jnp.where(better, iv, rows_i[r])
         # Rebuild tile arrays by concatenation (dynamic_update_slice has no
         # Mosaic lowering on this jax version); clearing the consumed bit is a
-        # tile-wide no-op on exhausted lanes (0 & -1 == 0). NOTE: re-ANDing a
-        # fresh best-q-pruned mask here was measured 13% SLOWER (494 vs 436 ms
-        # at 1080p/16spp) — the per-step slab recompute's SMEM scalar traffic
-        # exceeds what pruning saves, because the while loop is bound by the
-        # straggler LANE's candidate count, which pruning rarely shortens.
-        new_mask0 = mask0 & (mask0 - 1)
-        new_mask1 = jnp.where(use0, mask1, mask1 & (mask1 - 1))
-        return (new_mask0, new_mask1, jnp.concatenate(rows_q, axis=0),
+        # tile-wide no-op on exhausted lanes (0 & -1 == 0). Word i clears its
+        # lsb iff every lower word is empty (i.e. it was the selected word).
+        # NOTE: re-ANDing a fresh best-q-pruned mask here was measured 13%
+        # SLOWER (494 vs 436 ms at 1080p/16spp) — the per-step slab
+        # recompute's SMEM scalar traffic exceeds what pruning saves, because
+        # the while loop is bound by the straggler LANE's candidate count,
+        # which pruning rarely shortens.
+        new_masks = [masks[0] & (masks[0] - 1)]
+        lower_zero = masks[0] == 0
+        for i in range(1, n_words):
+            new_masks.append(jnp.where(lower_zero,
+                                       masks[i] & (masks[i] - 1), masks[i]))
+            lower_zero = lower_zero & (masks[i] == 0)
+        return (tuple(new_masks), jnp.concatenate(rows_q, axis=0),
                 jnp.concatenate(rows_i, axis=0))
 
-    carry = (mask0, mask1, best_q, best_i)
+    carry = (masks, best_q, best_i)
     steps_done = 0
     for r_at in REMASK_SCHEDULE:
         # Unrolled steps up to each schedule point, then an unconditional
@@ -856,10 +869,10 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
             carry = walk_body(carry)
         steps_done = r_at
         if _REMASK_REBUILD:
-            m0, m1, bq, bi = carry
-            f0, f1 = build_mask(bq, keep_ties=True)
-            carry = (m0 & f0, m1 & f1, bq, bi)
-    _, _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body, carry)
+            ms, bq, bi = carry
+            fresh = build_mask(bq, keep_ties=True)
+            carry = (tuple(m & f for m, f in zip(ms, fresh)), bq, bi)
+    _, best_q, best_i = jax.lax.while_loop(walk_cond, walk_body, carry)
     best_t = jnp.where(best_q >= INF, INF, best_q * inv_a)
     return best_t, best_i
 
@@ -1650,10 +1663,11 @@ def prepare_pallas_scene(scene: SceneBuffers, cand_size: int = 0,
     # representable, so accumulation order doesn't matter).
     gc = cand_size or _auto_cand_size(s)
     n_cand = -(-s // gc)
-    if n_cand > MAX_CAND_GROUPS:
+    if n_cand > 31 * MAX_CAND_WORDS:
         raise ValueError(
             f"pallas_cand_size={gc} needs {n_cand} candidate groups for "
-            f"{s} padded spheres — the per-lane mask holds {MAX_CAND_GROUPS}")
+            f"{s} padded spheres — the per-lane mask holds at most "
+            f"{31 * MAX_CAND_WORDS} ({MAX_CAND_WORDS} words)")
     chunk = GROUP if gc % GROUP == 0 else CAND_UNIT
     s_c = n_cand * gc
     # Tail padding duplicates sphere 0 (sph column 0 — carries the empty-scene

@@ -139,6 +139,15 @@ def test_candidate_walk_fuzz_random_scenes():
         np.testing.assert_array_equal(np.asarray(got.image),
                                       np.asarray(want.image),
                                       err_msg=f"scene seed={seed} n={n}")
+        if n == 1100:
+            # gc=16 at 1152 padded spheres = 72 candidate groups — exercises
+            # the MULTI-word (3×i32) per-lane mask path end-to-end.
+            got3 = PallasRenderer(dataclasses.replace(
+                cfg, pallas_intersect="candidates",
+                pallas_cand_size=16)).render(scene, cam, seed=seed + 50)
+            np.testing.assert_array_equal(np.asarray(got3.image),
+                                          np.asarray(want.image),
+                                          err_msg="3-word masks, gc=16")
 
 
 def test_pallas_final_scene_many_spheres():
