@@ -189,7 +189,7 @@ class RenderConfig:
     # accept compares (IEEE: NaN compares false) — 3 fewer vector ops per
     # sphere test, bit-identical accept set and image.
     pallas_fast_disc: bool = True
-    # Candidate-walk group size in spheres (multiple of 16); 0 = auto — the
+    # Candidate-walk group size in spheres (multiple of 8); 0 = auto — the
     # smallest multiple of CAND_UNIT that keeps the per-lane group count
     # within the two-word (62-group) bitmask.
     pallas_cand_size: int = 0
@@ -217,9 +217,9 @@ class RenderConfig:
                              "(Raytracing enum)")
         if self.sphere_chunk < 1:
             raise ValueError(f"sphere_chunk {self.sphere_chunk} must be >= 1")
-        if self.pallas_cand_size % 16 or self.pallas_cand_size < 0:
+        if self.pallas_cand_size % 8 or self.pallas_cand_size < 0:
             raise ValueError(f"pallas_cand_size {self.pallas_cand_size} must "
-                             "be a non-negative multiple of 16 (0 = auto)")
+                             "be a non-negative multiple of 8 (0 = auto)")
         for field, allowed in (("intersect_backend", ("auto", "brute", "bvh")),
                                ("diffuse_sampling", ("reference", "cosine")),
                                ("pallas_intersect",

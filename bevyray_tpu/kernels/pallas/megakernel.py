@@ -540,7 +540,18 @@ _LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
 # (the dense-scene question; see scripts/exp_dense48_ab.py).
 MAX_CAND_GROUPS = 62
 MAX_CAND_WORDS = 4
-CAND_UNIT = 16   # finest candidate-group size (and its required multiple)
+CAND_UNIT = 16   # the AUTO rule's group-size quantum (explicit sizes may be
+                 # any multiple of 8 — the finest gather-chunk sublane count)
+
+
+def _cand_chunk(gc: int) -> int:
+    """Gather-chunk size (spheres per one-hot matmul block) for candidate
+    group size ``gc``: full GROUP blocks when aligned, else the largest of
+    16/8 dividing gc. The chunk is the sphere-sublane dim of the per-step
+    register tile, so the tree-reduce needs it to be a power of two."""
+    if gc % GROUP == 0:
+        return GROUP
+    return CAND_UNIT if gc % CAND_UNIT == 0 else 8
 
 
 def _lsb_index(lsb):
@@ -633,7 +644,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     # fine sub-GROUP size); unless gc == GROUP (base boxes reused), the group
     # AABBs live in extra gaabb columns after [groups | supergroups].
     gc = grp_table.shape[0] // 4
-    chunk = GROUP if gc % GROUP == 0 else CAND_UNIT
+    chunk = _cand_chunk(gc)
     n_chunks = gc // chunk
     n32 = n_spheres // GROUP
     n_cand = -(-n_spheres // gc)
@@ -1662,13 +1673,15 @@ def prepare_pallas_scene(scene: SceneBuffers, cand_size: int = 0,
     # (3×8 mantissa bits ≥ f32's 24; every partial sum of the three addends is
     # representable, so accumulation order doesn't matter).
     gc = cand_size or _auto_cand_size(s)
+    if gc % 8:
+        raise ValueError(f"pallas_cand_size={gc} must be a multiple of 8")
     n_cand = -(-s // gc)
     if n_cand > 31 * MAX_CAND_WORDS:
         raise ValueError(
             f"pallas_cand_size={gc} needs {n_cand} candidate groups for "
             f"{s} padded spheres — the per-lane mask holds at most "
             f"{31 * MAX_CAND_WORDS} ({MAX_CAND_WORDS} words)")
-    chunk = GROUP if gc % GROUP == 0 else CAND_UNIT
+    chunk = _cand_chunk(gc)
     s_c = n_cand * gc
     # Tail padding duplicates sphere 0 (sph column 0 — carries the empty-scene
     # conventions too). A duplicate can only be hit when sphere 0 is, which

@@ -85,7 +85,8 @@ def test_candidate_walk_bit_matches_grouped_walk():
 
 def test_candidate_group_sizes_bit_identical():
     """Candidate-group geometry is a pure perf knob: any pallas_cand_size
-    (16 = two-word fine groups, 32 = round-2 default, 64 = chunked) must
+    (8 = finest sub-CAND_UNIT chunks, 16 = two-word fine groups, 24 = the
+    chunk-8 multi-chunk case, 32 = round-2 default, 64 = chunked) must
     produce BIT-identical images — the visit set stays conservative and the
     visit order ascending-index."""
     import dataclasses
@@ -96,7 +97,7 @@ def test_candidate_group_sizes_bit_identical():
     base = RenderConfig(width=32, height=32, samples_per_pixel=2, bounces=4,
                         level=3, pallas_intersect="candidates")
     want = PallasRenderer(base).render(scene, cam, seed=11)
-    for cs in (16, 32, 64):
+    for cs in (8, 24, 32, 64):
         cfg = dataclasses.replace(base, pallas_cand_size=cs)
         got = PallasRenderer(cfg).render(scene, cam, seed=11)
         np.testing.assert_array_equal(np.asarray(got.image),
