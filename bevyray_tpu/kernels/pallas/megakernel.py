@@ -535,11 +535,13 @@ _LSB_PATTERNS = tuple(np.int32(p - (1 << 32) if p >= 1 << 31 else p) for p in
 # bit g%31). The AUTO group-size rule targets TWO words (62 groups — measured
 # best at reference scale, round 3); an explicit pallas_cand_size may go as
 # fine as MAX_CAND_WORDS words before the table builder refuses. Extra words
-# cost ~2 vector ops each in the word-select/clear chains per walk step —
-# worthwhile only when finer groups cut gathered-sphere bytes materially
-# (the dense-scene question; see scripts/exp_dense48_ab.py).
+# cost ~2 vector ops each in the word-select/clear chains per walk step, and
+# the mask build/remask cost scales with the GROUP COUNT — worthwhile only
+# when finer groups cut gathered-sphere bytes materially (replay, dense
+# 5,000-sphere scene: straggler 1402 spheres @ gc96 → 1024 @ gc48 → 819 @
+# gc32; see scripts/exp_group_ab.py for the hardware verdict).
 MAX_CAND_GROUPS = 62
-MAX_CAND_WORDS = 4
+MAX_CAND_WORDS = 6
 CAND_UNIT = 16   # the AUTO rule's group-size quantum (explicit sizes may be
                  # any multiple of 8 — the finest gather-chunk sublane count)
 

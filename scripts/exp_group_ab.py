@@ -46,7 +46,8 @@ def main():
 
     plan = [("headline", 16, "median"), ("headline", 16, "sah"),
             ("headline", 8, "median"), ("headline", 8, "sah"),
-            ("dense", 96, "median"), ("dense", 48, "median")]
+            ("dense", 96, "median"), ("dense", 48, "median"),
+            ("dense", 32, "median")]
 
     arms = {}
     for tag, gc, rule in plan:
