@@ -232,7 +232,7 @@ def main(argv=None):
                             "spheres, candidates above)")
         s.add_argument("--pallas-cand-size", type=int, default=0,
                        help="candidate-walk group size in spheres (multiple "
-                            "of 16; 0 = auto — smallest fitting the two-word "
+                            "of 8; 0 = auto — smallest fitting the two-word "
                             "62-group mask)")
         s.add_argument("--pallas-primary", default="auto",
                        choices=["auto", "split", "off"],
