@@ -77,3 +77,19 @@ def test_phase_a_ablation_knobs_still_compile():
     # keeping its static-slot st_write/compaction path buildable (state
     # parking must be ACTIVE here — that is the path the unroll changes).
     render((), unroll=True, chunk=140)
+
+
+def test_pre_brute_probe_knobs_bit_identical():
+    """BRUTE_FIRST_GROUPS / POP_BRUTE_FRAC ship 0/0.0 (measured negatives,
+    kept as probe switches) — pin that their default-off code paths stay
+    value-identical through mask-machinery refactors (the multi-word mask
+    generalization rewired their bit-clearing), so a future perf battery
+    doesn't probe against a silently broken arm."""
+    world = rtiow.final_scene(seed=5, grid=4)
+    ref = _render(world, CHEAP_KNOBS, chunk=176)
+    brute = _render(world, dict(CHEAP_KNOBS, BRUTE_FIRST_GROUPS=1), chunk=180)
+    pop = _render(world, dict(CHEAP_KNOBS, POP_BRUTE_FRAC=0.5), chunk=184)
+    for got, name in ((brute, "BRUTE_FIRST_GROUPS=1"), (pop, "POP_BRUTE=0.5")):
+        assert float(got.rays_traced) == float(ref.rays_traced), name
+        np.testing.assert_array_equal(np.asarray(got.image),
+                                      np.asarray(ref.image), err_msg=name)
