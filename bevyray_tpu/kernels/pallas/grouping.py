@@ -56,6 +56,8 @@ def kd_order(cx, cy, cz, radius, valid, gc: int,
     so a per-revision host sort is strictly cheaper than its baseline.
     """
     rule = KD_RULE if rule is None else rule
+    if rule not in ("median", "sah"):
+        raise ValueError(f"kd_order rule {rule!r} must be 'median' or 'sah'")
     cx, cy, cz = (np.asarray(v, np.float32) for v in (cx, cy, cz))
     r = np.abs(np.asarray(radius, np.float32))
     live = np.asarray(valid, bool) & (r > 0)

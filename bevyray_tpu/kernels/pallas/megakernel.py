@@ -642,9 +642,9 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     q_min = a * T_MIN
 
     # Candidate-group geometry (must mirror prepare_pallas_scene): gc spheres
-    # per group in chunk-major blocks (chunk = GROUP, or CAND_UNIT for the
-    # fine sub-GROUP size); unless gc == GROUP (base boxes reused), the group
-    # AABBs live in extra gaabb columns after [groups | supergroups].
+    # per group in chunk-major blocks (chunk = _cand_chunk(gc): GROUP when
+    # 32-aligned, else 16 or 8); unless gc == GROUP (base boxes reused), the
+    # group AABBs live in extra gaabb columns after [groups | supergroups].
     gc = grp_table.shape[0] // 4
     chunk = _cand_chunk(gc)
     n_chunks = gc // chunk

@@ -1,15 +1,16 @@
 """TPU battery: grouping-quality knobs opened by the multi-word masks + SAH.
 
 One paired same-session battery (tunnel drift is ±3%, the size of these
-effects) covering the whole decision matrix in 4 Pallas compiles:
+effects) covering the whole decision matrix in 5 Pallas compiles (one per
+distinct cand_size×scene shape — rules share a compiled program):
 
   headline (1080p/16spp, 508 spheres):
     gc=16 × {median, sah}   — SAH replay: mean entered 2.53→2.11, strag 8.4→7.8
     gc=8  × {median, sah}   — replay: strag spheres 125→84 (−33% walk bytes)
                               at +2.7 straggler steps (3-word masks, chunk 8)
-  dense (640×384/4spp, 5,000 spheres):
-    gc=96 median (shipped)  vs  gc=48 median (4-word masks; replay −27%
-                              straggler bytes at +6 steps; rules tied here)
+  dense (640×384/4spp, 5,000 spheres), rules tied in replay — median only:
+    gc=96 (shipped auto)  vs  gc=48 (4-word masks; replay −27% straggler
+    bytes at +6.7 steps)  vs  gc=32 (6-word; −42% bytes at +11 steps)
 
 Arms sharing a compiled program (same gc, different rule) differ only in the
 host-side permutation fed through jit; each arm's renderer caches its own

@@ -97,6 +97,28 @@ def test_kd_sah_rule_is_an_aligned_quarantined_permutation():
     assert sa_total(sah) <= sa_total(med)
 
 
+def test_kd_rule_flip_misses_prepared_scene_cache():
+    """Flipping grouping.KD_RULE on a LIVE renderer must re-prepare — a
+    stale permutation is invisible in images (pure perf knob), so only the
+    cache key guards perf batteries from measuring the wrong arm."""
+    from bevyray_tpu.kernels.pallas import grouping
+
+    world = rtiow.final_scene(seed=11)
+    scene = world.extract(with_bvh=False)
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=1,
+                       level=3, pallas_cand_size=16)
+    r = PallasRenderer(cfg, exact_rng=True)
+    assert grouping.KD_RULE == "median"   # shipped default
+    med = np.asarray(r.prepare(scene).sph)
+    grouping.KD_RULE = "sah"
+    try:
+        sah = np.asarray(r.prepare(scene).sph)
+    finally:
+        grouping.KD_RULE = "median"
+    assert not np.array_equal(med, sah)   # different permutation delivered
+    np.testing.assert_array_equal(np.asarray(r.prepare(scene).sph), med)
+
+
 def _render(grouping, chunk, intersect, world, cand_size=0):
     scene = world.extract(with_bvh=False)
     cam = world.camera_state(aspect=1.0)
