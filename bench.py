@@ -57,6 +57,11 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 1000.0, 4),
+        # In-family structural ceiling from docs/SPEED_OF_LIGHT.md §4: the
+        # straggler floor of this kernel shape is ≈500 Mrays/s (mean-entered
+        # groups at zero straggler overhead). vs_baseline reads "% of north
+        # star"; this reads "% of what this kernel family can reach".
+        "vs_family_ceiling_500": round(mrays / 500.0, 4),
         "p50_frame_ms": round(p50 * 1e3, 2),
         "rays_per_frame": int(rays_per_frame),
         "device": str(jax.devices()[0]),

@@ -80,14 +80,12 @@ class PallasRenderer:
         # materials AND triangles) — a scene reusing sphere arrays with
         # replaced shading data must miss. Leaves are retained because id()
         # values are only unique among live objects.
-        from ..kernels.pallas import grouping
         from ..kernels.pallas.megakernel import jitted_prepare
+        # pscene_cache_key folds in grouping.KD_RULE, so a live rule flip
+        # (perf batteries monkeypatch it) misses here and in every other
+        # prepared-scene cache — otherwise the new arm silently measures the
+        # old arm's tables.
         key, leaves = pscene_cache_key(scene)
-        # The kd split rule shapes the prepared permutation, so a live rule
-        # flip (perf batteries monkeypatch grouping.KD_RULE) must miss here —
-        # otherwise the new arm silently measures the old arm's tables.
-        if self.config.pallas_grouping == "kd":
-            key = (key, grouping.KD_RULE)
         if self._pscene_cache is not None and self._pscene_cache[0] == key:
             return self._pscene_cache[2]
         pscene = jitted_prepare(self.config.pallas_cand_size,

@@ -667,7 +667,15 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
         best hit (a·t_near rescale as in _intersect_grouped). ``keep_ties``
         (the mid-walk re-mask) prunes only strictly-later groups, so an
         exact a·t_near == best_q fp coincidence can never drop a sphere that
-        could still win a lower-index q tie."""
+        could still win a lower-index q tie. Cross-arithmetic caveat: the
+        slab t_near and the quadratic hit q are computed differently, so in
+        the measure-zero case where a sphere's hit point lies exactly on its
+        own group-box face (the sphere defines that bound AND the ray grazes
+        it) an ulp flip could still prune an equal-q lower-index winner —
+        REMASK_SCHEDULE bit-identity assumes slab-t(face) ≥ quad-q(hit)/a at
+        the shared point, which holds for interior hits by construction
+        (boxes are +0-inflated unions of sphere extents, so t_near ≤ t_hit
+        geometrically; only exact-graze rounding can invert it)."""
         masks = [jnp.zeros((TILE_SUB, 128), jnp.int32) for _ in range(n_words)]
         for g in range(n_cand):
             col = cand_off + g
@@ -1512,10 +1520,15 @@ def _morton_key(x, y, z, radius, valid):
 
 def pscene_cache_key(scene: SceneBuffers):
     """(key, leaves) identifying everything ``prepare_pallas_scene`` bakes into
-    the table: spheres AND materials AND triangles. Callers must keep ``leaves``
-    alive alongside the key — id() values are only unique among live objects."""
+    the table: spheres AND materials AND triangles, plus the kd split rule
+    (grouping.KD_RULE shapes the prepared permutation, so a live rule flip —
+    perf batteries monkeypatch it — must miss EVERY prepared-scene cache, not
+    just PallasRenderer's; see ADVICE round 3). Morton configs over-invalidate
+    on a rule flip, which is harmless. Callers must keep ``leaves`` alive
+    alongside the key — id() values are only unique among live objects."""
+    from . import grouping
     leaves = jax.tree.leaves((scene.spheres, scene.materials, scene.triangles))
-    return tuple(id(x) for x in leaves), leaves
+    return (tuple(id(x) for x in leaves), grouping.KD_RULE), leaves
 
 
 def _auto_cand_size(s: int) -> int:

@@ -146,7 +146,10 @@ def _sp_ray_balance(scene, cam, config, sp, frame_seed):
     n_blocks = nbx * nby
     n_pad = -(-n_blocks // sp) * sp
     blocks_local = n_pad // sp
-    pscene = jitted_prepare()(scene)
+    # Prepare with the SAME (cand_size, grouping) as the sharded run next to
+    # which this balance is reported — defaults would measure a differently-
+    # ordered table if pconfig ever sets non-default values.
+    pscene = jitted_prepare(config.pallas_cand_size, config.pallas_grouping)(scene)
     out = []
     for i in range(sp):
         *_, segs = render_tiles(pscene, cam, config,
