@@ -39,10 +39,14 @@ __all__ = ["kd_order", "cached_order"]
 # Split-rule knob: "sah" picks, at every kd split, the (axis, grid-aligned
 # cut) minimizing count-weighted surface area of the two halves' c±r boxes
 # (prefix/suffix scans, O(n) per axis); "median" is the widest-center-axis
-# grid-aligned median cut SAH generalizes. Replay pre-screen
-# (scripts/exp_kd_sah.py): headline gc=16 mean entered groups 2.53 → 2.11
-# (−17%), straggler 8.4 → 7.8; dense scene parity. Either value is a pure
-# permutation — images are bit-identical; only culling quality moves.
+# grid-aligned median cut SAH generalizes. Either value is a pure permutation
+# — images are bit-identical; only culling quality moves. HARDWARE A/B
+# (GROUP_AB_r04.json, paired interleaved): median WINS at the headline —
+# 390.3 vs 334.3 Mrays/s (sah −14%) at gc=16 — despite the replay pre-screen
+# (scripts/exp_kd_sah.py) predicting sah −17% entered groups / −8% straggler.
+# Second confirmed case (after the dense "pair-bound" misread) that replay
+# entered-counts alone do NOT predict walk wall time; "median" stays default
+# on measurement.
 KD_RULE = "median"
 
 

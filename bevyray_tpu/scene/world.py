@@ -191,8 +191,9 @@ class World:
 
     def extract_raster_host(self):
         """Flatten live raster-only entities to world-space corner arrays plus
-        per-triangle [linear base color, metallic] rows (what the ambient-only
-        raster shading consumes). Returns None when there are none."""
+        per-triangle [linear base color, metallic, perceptual_roughness,
+        reflectance] rows (what the Bevy-ambient raster shading consumes).
+        Returns None when there are none."""
         a, b, c, colors = [], [], [], []
         for t, mesh, mat, alive in self._raster:
             if not alive:
@@ -202,7 +203,7 @@ class World:
             a.append(v[f[:, 0]])
             b.append(v[f[:, 1]])
             c.append(v[f[:, 2]])
-            colors.append(np.tile(mat.to_record()[:4], (f.shape[0], 1)))
+            colors.append(np.tile(mat.to_record()[:6], (f.shape[0], 1)))
         if not a:
             return None
         return (np.concatenate(a), np.concatenate(b), np.concatenate(c),

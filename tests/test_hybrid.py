@@ -78,3 +78,43 @@ def test_level1_vs_level2_sky_vs_raster_background():
     assert (img2[:4, :, 2] > 0.9).all()
     # Where geometry exists (bottom half), both levels agree.
     np.testing.assert_allclose(img1[-8:], img2[-8:], atol=1e-6)
+
+
+def test_raster_ambient_matches_bevy_formula():
+    """The analytic raster layer's shading must equal Bevy 0.14's
+    ``ambient_light`` (split-sum EnvBRDFApprox, Filament specular occlusion,
+    80-lux white ambient x default exposure) — hand-evaluated here at normal
+    incidence for the default cube material (round-3 VERDICT item 6)."""
+    from bevyray_tpu import (RaytracedCamera, Raytracing, StandardMaterial,
+                             Transform, cube_mesh)
+    from bevyray_tpu.engine.raster import raster_layer
+    from bevyray_tpu.scene.components import srgb_to_linear
+    from bevyray_tpu.scene.world import World
+
+    w = h = 17   # odd: the center pixel ray runs exactly along cam.direction
+    world = World()
+    world.set_camera(Transform.from_xyz(0, 0, 4).looking_at((0, 0, 0)),
+                     camera=RaytracedCamera(level=Raytracing.FALLBACK_RASTER))
+    mat = StandardMaterial(base_color=(0.8, 0.3, 0.2))
+    world.spawn_raster_mesh(Transform.from_xyz(0, 0, 0), cube_mesh(1.0), mat)
+    cfg = RenderConfig(width=w, height=h, samples_per_pixel=1, bounces=1,
+                       level=2)
+    rc, rd = raster_layer(world, world.camera_state(aspect=1.0), cfg)
+    center = (h // 2) * w + (w // 2)
+    got = np.array([np.asarray(v)[center] for v in (rc.x, rc.y, rc.z)])
+
+    # Hand evaluation, NoV = 1: F_AB(1,1) = (0.4524, -0.0024);
+    # F_AB(0.5,1): a004 = min(0.25, 2**-9.28)*0.5 + 0.02875.
+    base = np.array([srgb_to_linear(c) for c in (0.8, 0.3, 0.2)])
+    f0 = 0.16 * 0.5**2          # metallic 0, reflectance 0.5
+    d_scale, d_bias = 0.468 - 1.04 * 0.015, 1.04 * 0.015 - 0.018
+    a004 = min(0.25, 2.0 ** -9.28) * 0.5 + 0.02875
+    s_scale, s_bias = 0.754 - 1.04 * a004, 1.04 * a004 - 0.029
+    spec_occ = min(1.0, 3 * f0 * 50.0 * 0.33)
+    ambient = 80.0 / (125.0 * 1.2)
+    want = (base * d_scale + d_bias
+            + (f0 * s_scale + s_bias) * spec_occ) * ambient
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # And the depth buffer holds reverse-Z near/view_z for the front face.
+    near = world.projection.near
+    np.testing.assert_allclose(np.asarray(rd)[center], near / 3.5, rtol=1e-4)
