@@ -245,14 +245,28 @@ def _fast_ball(u1, u2, u3, u4, u5) -> Vec3:
     return Vec3(gx * s, gy * s, gz * s)
 
 
+# Compact hw scatter draws: generate 9 random rows per bounce instead of 13 by
+# recycling the 9 low bits each 23-bit-mantissa uniform discards. The 8 ball
+# uniforms' spares pair into four 18-bit uniforms (u_metal, u_trans and the two
+# ball radii — all far above Monte-Carlo noise resolution); u_reflect (the
+# Schlick compare) keeps a full 23-bit row. Per-row generation cost dominates
+# the provider (bulk generation measured no cheaper per word, round 1), so
+# fewer rows is the only lever; the repack is ~6 vector ops per value.
+# Distribution-preserving only (different stream) — the hw path has no
+# bit-compat contract. Knob (module-level, like REMASK_SCHEDULE) for the
+# hardware A/B in scripts/exp_round4_tfix.py.
+HW_DRAWS_COMPACT = True
+
+
 class HwRngProvider:
     """TPU hardware PRNG: stateful per-core generator, seeded per (frame, tile,
     sample).
 
     Per-uniform generation cost dominates (bulk generation measured no cheaper
-    per word), so the budget is kept to 13 uniforms per bounce — the same count
-    as the exact path — with ball samples via fast-math Box–Muller. All of a
-    bounce's bits come from a single ``prng_random_bits`` call.
+    per word), so the budget is 9 uniform rows per bounce (HW_DRAWS_COMPACT;
+    13 — the exact path's count — with the knob off), with ball samples via
+    fast-math Box–Muller. All of a bounce's bits come from a single
+    ``prng_random_bits`` call.
     """
 
     SCATTER_DRAWS = 3 + 2 * 5   # branch tests + 2 five-uniform balls
@@ -264,17 +278,25 @@ class HwRngProvider:
         pltpu.prng_seed(mixed.astype(jnp.int32))
 
     @staticmethod
-    def _uniform_block(n_draws):
-        """(n_draws·TILE_SUB, 128) uniforms in [0,1) from one bit generation.
+    def _raw_block(n_rows):
+        """(n_rows·TILE_SUB, 128) random int32 rows from one bit generation.
 
         All integer work stays in SIGNED int32 — unsigned vector ops are
         pathological in this Mosaic version (scalarized / compile hangs).
         """
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((n_draws * TILE_SUB, 128)), jnp.int32)
+        return pltpu.bitcast(
+            pltpu.prng_random_bits((n_rows * TILE_SUB, 128)), jnp.int32)
+
+    @staticmethod
+    def _mant_uniform(bits):
+        """[0,1) uniform from the top 23 bits of each int32 lane."""
         mant = (jax.lax.shift_right_logical(bits, np.int32(9))
                 | np.int32(0x3F800000))
-        return pltpu.bitcast(mant, jnp.float32) - 1.0   # 23 random mantissa bits
+        return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+    @classmethod
+    def _uniform_block(cls, n_draws):
+        return cls._mant_uniform(cls._raw_block(n_draws))
 
     def jitter(self):
         u = self._uniform_block(2)
@@ -286,11 +308,26 @@ class HwRngProvider:
 
     def scatter_draws(self, bounce):
         del bounce  # stateful generator; draw order alone defines the stream
-        u = self._uniform_block(self.SCATTER_DRAWS)
+        if not HW_DRAWS_COMPACT:
+            u = self._uniform_block(self.SCATTER_DRAWS)
+            part = lambda k: u[k * TILE_SUB:(k + 1) * TILE_SUB]
+            ball1 = _fast_ball(part(3), part(4), part(5), part(6), part(7))
+            ball2 = _fast_ball(part(8), part(9), part(10), part(11), part(12))
+            return part(0), part(1), part(2), ball1, ball2
+        bits = self._raw_block(9)
+        u = self._mant_uniform(bits)
         part = lambda k: u[k * TILE_SUB:(k + 1) * TILE_SUB]
-        ball1 = _fast_ball(part(3), part(4), part(5), part(6), part(7))
-        ball2 = _fast_ball(part(8), part(9), part(10), part(11), part(12))
-        return part(0), part(1), part(2), ball1, ball2
+        spare = lambda k: (bits[k * TILE_SUB:(k + 1) * TILE_SUB]
+                           & np.int32(0x1FF))
+
+        def u18(ka, kb):
+            v = jax.lax.shift_left(spare(ka), np.int32(9)) | spare(kb)
+            mant = jax.lax.shift_left(v, np.int32(5)) | np.int32(0x3F800000)
+            return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+        ball1 = _fast_ball(part(0), part(1), part(2), part(3), u18(0, 1))
+        ball2 = _fast_ball(part(4), part(5), part(6), part(7), u18(2, 3))
+        return u18(4, 5), u18(6, 7), part(8), ball1, ball2
 
 
 GROUP = 32   # spheres per cullable group (morton-ordered at scene prep)

@@ -11,13 +11,22 @@ segment counts — the megakernel shards pixel BLOCKS over sp, so imbalance =
 content imbalance between block ranges). On a real pod the same script (run
 under `jax.distributed`) times the scaling curve instead.
 
-Prints one JSON line per mesh shape per path plus a summary line.
+Prints one JSON line per mesh shape per path plus a summary line; with
+``--out FILE`` also writes the full record set as one JSON artifact
+(SCALING_r04.json in the repo root is the committed per-round capture).
 """
 
 import json
 import sys
 
 import numpy as np
+
+_RECORDS: list = []
+
+
+def _emit(rec):
+    _RECORDS.append(rec)
+    print(json.dumps(rec), flush=True)
 
 
 def _provision(n):
@@ -31,7 +40,7 @@ def _provision(n):
     return len(devs) >= n and devs[0].platform == "cpu"
 
 
-def main(n_max: int = 8):
+def main(n_max: int = 8, out_path=None):
     if not _provision(n_max):
         import os
         import subprocess
@@ -39,7 +48,7 @@ def main(n_max: int = 8):
             print("cannot provision a CPU mesh even in a clean subprocess",
                   file=sys.stderr)
             return 1
-        proc = subprocess.run([sys.executable, __file__],
+        proc = subprocess.run([sys.executable, __file__, *sys.argv[1:]],
                               cwd=os.path.dirname(os.path.dirname(
                                   os.path.abspath(__file__))),
                               env={**os.environ,
@@ -78,11 +87,11 @@ def main(n_max: int = 8):
             ref_img = img
         same = bool(np.abs(img - ref_img).max() < 2e-6)
         ok &= same
-        print(json.dumps({
+        _emit({
             "path": "xla", "devices": n, "mesh": {"sp": sp, "dp": dp, "tp": tp},
             "rays": int(float(frame.rays_traced)),
             "matches_1dev": same,
-        }), flush=True)
+        })
 
     # ---- Pallas megakernel step: sp×dp (the deployed fast path) ----------
     # The kernel tiles 64×64 pixel BLOCKS, so sp sharding needs a multi-block
@@ -118,17 +127,21 @@ def main(n_max: int = 8):
         # 2^24): placement must not change the total.
         ok &= float(frame.rays_traced) == ref_rays
         balance = _sp_ray_balance(scene, cam, pconfig, sp, frame_seed=7)
-        print(json.dumps({
+        _emit({
             "path": "pallas", "devices": n, "mesh": {"sp": sp, "dp": dp},
             "rays": int(float(frame.rays_traced)),
             ("bitmatches_1dev" if dp == 1 else "matches_1dev"): same,
             "per_sp_shard_rays": balance,
             "balance_max_over_min": (round(max(balance) / max(min(balance), 1),
                                            3) if balance else 1.0),
-        }), flush=True)
+        })
 
-    print(json.dumps({"scaling_ok": ok, "note": "virtual CPU mesh — validates "
-                      "compile/execute/equality per mesh shape, not wall-clock"}))
+    _emit({"scaling_ok": ok, "note": "virtual CPU mesh — validates "
+           "compile/execute/equality per mesh shape, not wall-clock"})
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"probe_script": "scripts/scaling_bench.py",
+                       "records": _RECORDS}, f, indent=1)
     return 0 if ok else 1
 
 
@@ -161,4 +174,7 @@ def _sp_ray_balance(scene, cam, config, sp, frame_seed):
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    out = None
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    sys.exit(main(out_path=out))
