@@ -641,8 +641,19 @@ BRUTE_FIRST_GROUPS = 0
 # iteration round-trips the carry through VMEM — the re-mask slab pass
 # (~1 µs) is ~free and kept for principled tail pruning (it helps slightly
 # on the dense 5000-sphere scene's longer straggler tails). Multi-point
-# schedules measured slightly worse than one deep point. () disables.
-REMASK_SCHEDULE = (5,)
+# schedules measured slightly worse than one deep point at BOTH scales
+# (round 3 headline; round 4 dense (5,10) −3%). "auto" (the default)
+# resolves per compiled scene size in _remask_schedule: big scenes' straggler
+# lanes walk ~15 entered groups (vs ~6 at reference scale) and K=10 measured
+# +2.3% there (exp_round4_dense.py: 30.5 vs 29.8 Mrays/s paired; K=14 −7%).
+# () disables. Any explicit tuple is used as-is (probe scripts, conftest).
+REMASK_SCHEDULE = "auto"
+
+
+def _remask_schedule(n_spheres_padded: int):
+    if REMASK_SCHEDULE == "auto":
+        return (10,) if n_spheres_padded >= 2048 else (5,)
+    return REMASK_SCHEDULE
 _REMASK_REBUILD = True   # probe: False = unroll the steps but skip the
                          # rebuild, isolating unroll-vs-remask contributions
 
@@ -916,7 +927,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
 
     carry = (masks, best_q, best_i)
     steps_done = 0
-    for r_at in REMASK_SCHEDULE:
+    for r_at in _remask_schedule(n_spheres):
         # Unrolled steps up to each schedule point, then an unconditional
         # re-mask against the tightened best_q — hoisted OUT of the while
         # loop so no operands round-trip VMEM per iteration (the round-2

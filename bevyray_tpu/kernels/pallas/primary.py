@@ -33,7 +33,13 @@ from __future__ import annotations
 import numpy as np
 
 SL_CHUNK = 8      # spheres per early-out chunk (kernel unrolls this)
-SL_MAX = 256      # capacity cap; blocks needing more fall back to the full walk
+# Capacity cap; blocks needing more fall back to the full walk. 512 (round 4,
+# was 256): the dense 5,000-sphere bench has 8/60 blocks at 329-387 members —
+# at 256 those blocks full-walked AND their overflow disabled the
+# shortlist-local attribute tables for the whole frame (slattr requires zero
+# overflow). Capacity is still the per-compile max BLOCK count rounded to
+# SL_CHUNK, so small scenes (headline max 23) are unaffected.
+SL_MAX = 512
 N_SL_ROWS = 5     # cx, cy, cz, r², global sphere index (exact in f32 ≤ 2^24)
 
 
