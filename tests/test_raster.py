@@ -135,33 +135,78 @@ def test_final_scene_has_the_cube():
 
 def test_ambient_only_shading_golden():
     """The reference app spawns NO lights (main.rs:49-240), so Bevy shades its
-    cube with the default ambient only. Pin the chosen convention: flat
-    linear(base) · (1 − metallic) · 80/(125·1.2) — Bevy 0.14 AmbientLight
-    default (80 lux, white) × default exposure."""
+    cube with the default ambient only. Pin the full convention (round 4):
+    Bevy 0.14 ``ambient_light`` — split-sum EnvBRDFApprox diffuse + specular
+    with F_AB, Filament pre-baked specular occlusion, white 80-lux ambient ×
+    default exposure 1/(125·1.2) — evaluated here INDEPENDENTLY per pixel
+    (numpy slab-test of the axis-aligned cube + the scalar F_AB formula)."""
+    import jax.numpy as jnp
+
+    from bevyray_tpu.kernels.raygen import generate_rays, pixel_uv
     from bevyray_tpu.scene.components import srgb_to_linear
 
     world = _cube_world()
-    cfg = RenderConfig(width=64, height=64, samples_per_pixel=1, bounces=1,
+    W = H = 64
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=1, bounces=1,
                        level=1)
-    color, depth = raster_layer(world, world.camera_state(aspect=1.0), cfg)
+    cam = world.camera_state(aspect=1.0)
+    color, depth = raster_layer(world, cam, cfg)
     hit = np.asarray(depth) > 0
     assert hit.any()
-    ambient = np.float32(80.0 / (125.0 * 1.2))
-    for comp, srgb in zip((color.x, color.y, color.z), (0.8, 0.7, 0.6)):
-        want = np.float32(np.float32(srgb_to_linear(srgb)) * ambient)
-        got = np.unique(np.asarray(comp)[hit])
-        np.testing.assert_allclose(got, [want], rtol=1e-6)
-    # metallic scales the ambient term down (Bevy's diffuse ambient is
-    # base · (1 − metallic)): a half-metallic cube is exactly half as bright.
+
+    # Independent center rays (generate_rays is pinned elsewhere) + exact
+    # axis-aligned slab test of the unit cube at (0, 0.5, 0).
+    u, v = pixel_uv(W, H)
+    half = jnp.full_like(u, 0.5)
+    o, d = generate_rays(u, v, half, half, cam, H)
+    o = np.stack([np.asarray(c) for c in (o.x, o.y, o.z)], -1).astype(np.float64)
+    d = np.stack([np.asarray(c) for c in (d.x, d.y, d.z)], -1).astype(np.float64)
+    lo, hi = np.array([-0.5, 0.0, -0.5]), np.array([0.5, 1.0, 0.5])
+    t1, t2 = (lo - o) / d, (hi - o) / d
+    t_near = np.minimum(t1, t2).max(-1)
+    t_far = np.maximum(t1, t2).min(-1)
+    box_hit = (t_far >= t_near) & (t_far > 0)
+    np.testing.assert_array_equal(box_hit, hit)   # same silhouette
+    # Entry face normal: the axis achieving t_near, sign opposing the ray.
+    ax = np.argmax(np.minimum(t1, t2), axis=-1)
+    n = np.zeros_like(d)
+    n[np.arange(n.shape[0]), ax] = -np.sign(d[np.arange(d.shape[0]), ax])
+    no_v = np.maximum(np.abs((n * d).sum(-1)), 1e-4)
+
+    def f_ab(rough, nov):
+        r = rough * np.array([-1.0, -0.0275, -0.572, 0.022]) + np.array(
+            [1.0, 0.0425, 1.04, -0.04])
+        a004 = np.minimum(r[0] * r[0], np.exp2(-9.28 * nov)) * r[0] + r[1]
+        return -1.04 * a004 + r[2], 1.04 * a004 + r[3]
+
+    base = np.array([srgb_to_linear(c) for c in (0.8, 0.7, 0.6)])
+    f0 = 0.16 * 0.5 ** 2                     # metallic 0, reflectance 0.5
+    ds, db = f_ab(1.0, no_v)
+    ss, sb = f_ab(0.5, no_v)                 # default perceptual_roughness
+    spec_occ = np.clip(3 * f0 * 50.0 * 0.33, 0.0, 1.0)
+    ambient = 80.0 / (125.0 * 1.2)
+    want = ((base[None, :] * ds[:, None] + db[:, None])
+            + ((f0 * ss + sb) * spec_occ)[:, None]) * ambient
+    got = np.stack([np.asarray(c) for c in (color.x, color.y, color.z)], -1)
+    np.testing.assert_allclose(got[hit], want[hit], rtol=2e-4)
+
+    # Metallic kills the diffuse term and recolors F0 = base: a fully-metallic
+    # cube shades as pure F0-specular ambient (Bevy: metals still reflect the
+    # environment — brighter than intuition suggests, dimmer than dielectric
+    # diffuse only for dark base colors).
     world2 = World()
     world2.set_camera(Transform.from_xyz(0.0, 1.0, 4.0).looking_at((0.0, 0.5, 0.0)))
     world2.spawn_raster_mesh(Transform.from_xyz(0.0, 0.5, 0.0), cube_mesh(1.0),
                              StandardMaterial(base_color=(0.8, 0.7, 0.6),
-                                              metallic=0.5))
+                                              metallic=1.0))
     c2, d2 = raster_layer(world2, world2.camera_state(aspect=1.0), cfg)
     hit2 = np.asarray(d2) > 0
-    np.testing.assert_allclose(np.asarray(c2.x)[hit2],
-                               np.asarray(color.x)[hit] .max() * 0.5, rtol=1e-6)
+    dsm, dbm = f_ab(1.0, no_v)               # diffuse term: F0-colored bias only
+    want_metal = ((0.0 * dsm + dbm)[:, None]
+                  + (base[None, :] * ss[:, None] + sb[:, None])
+                  * np.clip(base.sum() * 50.0 * 0.33, 0.0, 1.0)) * ambient
+    got2 = np.stack([np.asarray(c) for c in (c2.x, c2.y, c2.z)], -1)
+    np.testing.assert_allclose(got2[hit2], want_metal[hit2], rtol=2e-4)
 
 
 def test_transform_rotation_roundtrip():
