@@ -245,6 +245,23 @@ def _fast_ball(u1, u2, u3, u4, u5) -> Vec3:
     return Vec3(gx * s, gy * s, gz * s)
 
 
+def _fast_ball_zphi(uz, uphi, ur) -> Vec3:
+    """Uniform point in the unit ball from 3 uniforms: Archimedes cylinder
+    sampling (z uniform in [-1,1), azimuth uniform) for the direction — an
+    EXACTLY uniform sphere direction, unlike the fast-math-Gaussian route —
+    and the usual cube-root radius. Vs ``_fast_ball``: two fewer uniform rows
+    and the per-ball transcendental bill drops from 3×log2 + 2×sqrt + rsqrt +
+    3×trig to 1×log2 + 1×sqrt + 2×trig (per-row generation dominates the hw
+    provider, so the row cut is the bigger half)."""
+    z = np.float32(2.0) * uz - np.float32(1.0)
+    s = jnp.sqrt(jnp.maximum(np.float32(1.0) - z * z, 0.0))
+    x = s * _fast_cos2pi(uphi)
+    y = s * _fast_sin2pi(uphi)
+    radius = _fast_pow2(_fast_log2(jnp.maximum(ur, 1e-30))
+                        * np.float32(1.0 / 3.0))
+    return Vec3(x * radius, y * radius, z * radius)
+
+
 # Compact hw scatter draws: generate 9 random rows per bounce instead of 13 by
 # recycling the 9 low bits each 23-bit-mantissa uniform discards. The 8 ball
 # uniforms' spares pair into four 18-bit uniforms (u_metal, u_trans and the two
@@ -257,6 +274,16 @@ def _fast_ball(u1, u2, u3, u4, u5) -> Vec3:
 # hardware A/B in scripts/exp_round4_tfix.py.
 HW_DRAWS_COMPACT = True
 
+# Round-4 session-2: z/phi balls cut the bounce budget 9 → 6 rows (ball
+# directions need 2 full rows each instead of 4, and their exactly-uniform
+# construction is also cheaper per ball — see _fast_ball_zphi). Layout:
+# rows 0-3 = z1, phi1, z2, phi2; row 4 = u_reflect (full 23-bit Schlick
+# compare); row 5 = u_metal; spares (0,1)→r1, (2,3)→r2, (4,5)→u_trans.
+# Same contract as HW_DRAWS_COMPACT: hw-only, distribution-preserving.
+# Measured +0.6% headline paired (ZPHI_AB_r04.json: 399.3 vs 396.8 Mrays/s)
+# with the on-hw distribution sanity inside the same battery.
+HW_DRAWS_ZPHI = True
+
 
 class HwRngProvider:
     """TPU hardware PRNG: stateful per-core generator, seeded per (frame, tile,
@@ -265,7 +292,8 @@ class HwRngProvider:
     Per-uniform generation cost dominates (bulk generation measured no cheaper
     per word), so the budget is 9 uniform rows per bounce (HW_DRAWS_COMPACT;
     13 — the exact path's count — with the knob off), with ball samples via
-    fast-math Box–Muller. All of a bounce's bits come from a single
+    fast-math Box–Muller; HW_DRAWS_ZPHI drops to 6 rows with exactly-uniform
+    z/phi ball directions. All of a bounce's bits come from a single
     ``prng_random_bits`` call.
     """
 
@@ -314,6 +342,21 @@ class HwRngProvider:
             ball1 = _fast_ball(part(3), part(4), part(5), part(6), part(7))
             ball2 = _fast_ball(part(8), part(9), part(10), part(11), part(12))
             return part(0), part(1), part(2), ball1, ball2
+        if HW_DRAWS_ZPHI:
+            bits = self._raw_block(6)
+            u = self._mant_uniform(bits)
+            part = lambda k: u[k * TILE_SUB:(k + 1) * TILE_SUB]
+            spare = lambda k: (bits[k * TILE_SUB:(k + 1) * TILE_SUB]
+                               & np.int32(0x1FF))
+
+            def u18(ka, kb):
+                v = jax.lax.shift_left(spare(ka), np.int32(9)) | spare(kb)
+                mant = jax.lax.shift_left(v, np.int32(5)) | np.int32(0x3F800000)
+                return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+            ball1 = _fast_ball_zphi(part(0), part(1), u18(0, 1))
+            ball2 = _fast_ball_zphi(part(2), part(3), u18(2, 3))
+            return part(5), u18(4, 5), part(4), ball1, ball2
         bits = self._raw_block(9)
         u = self._mant_uniform(bits)
         part = lambda k: u[k * TILE_SUB:(k + 1) * TILE_SUB]
