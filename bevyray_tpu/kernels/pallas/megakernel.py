@@ -102,8 +102,10 @@ MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under V
 # carry through VMEM and pays a cross-lane cond reduce (the same mechanism
 # the walk-prefix unroll exploits — exp_round3f). The body is exactly
 # idempotent on all-dead lanes (masked updates, zero harvest, no-op fetch),
-# so J>1 only adds a harmless partial pass at each tile's end.
-PHASEB_UNROLL = 2
+# so J>1 only adds a harmless partial pass at each tile's end. Round-4 ladder
+# (PHASEBJ_AB_r04.json, paired): J=3 +1.1% over J=2; J=4 regresses −0.5%
+# (the wasted tail passes overtake the saved carry round-trips).
+PHASEB_UNROLL = 3
 SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # (measured: walk-all was 2.5% SLOWER than the chunked
                        # early-out even at k_cap=24 — the per-chunk consensus

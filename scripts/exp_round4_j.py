@@ -67,7 +67,7 @@ def main():
         report["arms"].append({"probe": name, "J": j, "p50_ms": round(p50, 1),
                                "mrays": round(mrays, 1), "n_frames": len(times)})
         print(json.dumps(report["arms"][-1]), flush=True)
-    mk.PHASEB_UNROLL = 2
+    mk.PHASEB_UNROLL = 3
     with open(OUT, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"wrote": OUT}), flush=True)
