@@ -111,6 +111,12 @@ SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # early-out even at k_cap=24 — the per-chunk consensus
                        # reduce earns its keep; kept as a testable path)
 _DEBUG_STATIC_FETCH = False   # timing probe only (wrong images): see fetch()
+# Timing probe (images CORRECT, counter repurposed): count LOOP ITERATIONS
+# instead of live segments in the rays_traced output — every lane adds 1.0
+# each pass through a trace-loop body, so rays_traced == tile_iters · TILE.
+# With a paired normal run this yields exact per-tile-iteration cost and
+# occupancy (live segments / lane-iterations). exp_round4_titer.py.
+COUNT_ITERS = False
 # Phase-A cost-decomposition ablations (timing probes ONLY — wrong images;
 # run at bounces=0 so phase B never sees the perturbed state). Subset of:
 #   "no_compact"   skip the redirect-compaction pass
@@ -1343,7 +1349,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             died = act & ~cont
             if "no_harvest" not in _DEBUG_PHASEA:
                 cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
-            segsum = segsum + jnp.where(act, 1.0, 0.0)
+            segsum = segsum + (1.0 if COUNT_ITERS
+                               else jnp.where(act, 1.0, 0.0))
             if "no_st" in _DEBUG_PHASEA:  # timing probe: skip state parking
                 return cr, cg, cb, dsum, segsum
             for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
@@ -1415,7 +1422,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 cont = cont & (b_lane < config.bounces)
                 died = active & ~cont
                 cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
-                segsum = segsum + jnp.where(active, 1.0, 0.0)
+                segsum = segsum + (1.0 if COUNT_ITERS
+                                   else jnp.where(active, 1.0, 0.0))
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
                 take = died & (nxt[ST_W] > 0.0)
                 o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
@@ -1483,7 +1491,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             cb = cb + jnp.where(died, g.z, 0.0)
             depth_fin = jnp.where(first_depth >= INF, fallback_far, first_depth)
             dsum = dsum + jnp.where(died, depth_fin, 0.0)
-            segsum = segsum + jnp.where(active, 1.0, 0.0)
+            segsum = segsum + (1.0 if COUNT_ITERS
+                               else jnp.where(active, 1.0, 0.0))
 
             # Restart dead lanes on their next sample.
             s_lane = s_lane + jnp.where(died, 1, 0)
@@ -1533,7 +1542,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 active = active_f > 0.0
                 o, d, ray_color, radiance, first_depth, cont = bounce_core(
                     o, d, active, b, provider, ray_color, radiance, first_depth)
-                segs = segs + jnp.where(active, 1.0, 0.0)
+                segs = segs + (1.0 if COUNT_ITERS
+                               else jnp.where(active, 1.0, 0.0))
                 return (b + 1, o, d, ray_color, radiance,
                         jnp.where(cont, 1.0, 0.0), first_depth, segs)
 
