@@ -97,6 +97,33 @@ N_ST = 15
 (ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ, ST_RCX, ST_RCY, ST_RCZ,
  ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
 MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under VMEM
+# Pixel-blocks fused per kernel instance in phase-split mode (tile-tail
+# pooling): the round-4 direct counters (TITER_r04, SPEED_OF_LIGHT §11) show
+# phase B runs at 61% (headline) / 41.5% (dense 4 spp) lockstep occupancy —
+# exhausted-sample lanes idle while the tile's straggler lane finishes.
+# Fusing F blocks into one instance gives every lane F pixels' samples
+# (slots h·spp+s), so the while-loop tail is paid once per F blocks and the
+# straggler of per-lane SUMS replaces the sum of per-block stragglers
+# (classic variance pooling). Values: 1 (off) | 2 | 4 | 8 | "auto" (largest
+# power of two with fuse·spp ≤ MAX_SPLIT_SPP that divides the local tile
+# count). Bit-identical on the exact-RNG path (draws stay keyed by
+# (pixel, sample); per-pixel accumulation order is unchanged); the hw-PRNG
+# stream reseeds per fused tile (no bit contract there).
+PHASE_FUSE = 1
+
+
+def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool) -> int:
+    if not phase_split:
+        return 1
+    want = PHASE_FUSE
+    if want == "auto":
+        want = 8
+    want = int(want)
+    f = 1
+    while (f < want and f < 8 and (f * 2) * spp <= MAX_SPLIT_SPP
+           and n_tiles % (f * 2) == 0):
+        f *= 2
+    return f
 # Bounce iterations per phase-B while-loop step. The outer persistent loop
 # carries 13 (TILE_SUB, 128) arrays; every while iteration round-trips that
 # carry through VMEM and pays a cross-lane cond reduce (the same mechanism
@@ -1096,8 +1123,10 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    grp_ref, out_r_ref, out_g_ref, out_b_ref, out_depth_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
-                   normalize: bool = True, sl_ref=None, slmeta_ref=None,
-                   slattr_ref=None, st_ref=None, sppmap_ref=None):
+                   normalize: bool = True, fuse: int = 1, sl_ref=None,
+                   slmeta_ref=None, slattr_ref=None, st_ref=None,
+                   sppmap_ref=None):
+    assert fuse == 1 or st_ref is not None, "block fusion is phase-split only"
     tile_id = pl.program_id(0)
 
     # ---- per-tile pixel coordinates -------------------------------------------
@@ -1114,19 +1143,29 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     nbx = seed_ref[0, 3].astype(jnp.int32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, 128), 1)
-    block = block_offset + tile_id
+    # With block fusion (fuse > 1, phase-split only) one kernel instance
+    # renders ``fuse`` consecutive pixel blocks; half h's geometry lives at
+    # index h of the per-half lists below. fuse == 1 reduces to the original
+    # single-block program.
+    block = block_offset + tile_id * fuse
     r = sub * 128 + lane                       # 0..4095 within the block
-    px = (block % nbx) * BLOCK_W + (r % BLOCK_W)
-    py = (block // nbx) * BLOCK_H + (r // BLOCK_W)
     width_f = cam_ref[0, C_WIDTH]
     width_i = width_f.astype(jnp.int32)
     height_i = cam_ref[0, C_HEIGHT].astype(jnp.int32)
-    in_image = (px < width_i) & (py < height_i)
-    # RNG streams stay keyed by the ROW-MAJOR pixel id so images are identical
-    # to the XLA renderer regardless of tile shape.
-    pixel_index = py * width_i + px
-    u = (px.astype(jnp.float32) + 0.5) / width_f
-    v = (py.astype(jnp.float32) + 0.5) / cam_ref[0, C_HEIGHT]
+
+    def _geom(blk):
+        gpx = (blk % nbx) * BLOCK_W + (r % BLOCK_W)
+        gpy = (blk // nbx) * BLOCK_H + (r // BLOCK_W)
+        gin = (gpx < width_i) & (gpy < height_i)
+        # RNG streams stay keyed by the ROW-MAJOR pixel id so images are
+        # identical to the XLA renderer regardless of tile shape.
+        gpix = gpy * width_i + gpx
+        gu = (gpx.astype(jnp.float32) + 0.5) / width_f
+        gv = (gpy.astype(jnp.float32) + 0.5) / cam_ref[0, C_HEIGHT]
+        return gpx, gpy, gin, gpix, gu, gv
+
+    halves = [_geom(block + h) for h in range(fuse)]
+    px, py, in_image, pixel_index, u, v = halves[0]
 
     cam_pos = Vec3(cam_ref[0, C_POS_X], cam_ref[0, C_POS_Y], cam_ref[0, C_POS_Z])
     cam_dir = Vec3(cam_ref[0, C_DIR_X], cam_ref[0, C_DIR_Y], cam_ref[0, C_DIR_Z])
@@ -1151,16 +1190,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     target = (jnp.minimum(sppmap_ref[0], spp) if sppmap_ref is not None
               else spp)
 
-    def make_provider(sample_vec):
+    def make_provider(sample_vec, pix=None):
         """sample_vec: per-lane sample index (i32 scalar or (TILE_SUB,128))."""
         if exact_rng:
-            return ExactRngProvider(pixel_index,
+            return ExactRngProvider(pixel_index if pix is None else pix,
                                     sample_vec.astype(jnp.uint32) + sample_offset,
                                     frame_seed)
         return hw_provider
 
-    def raygen(provider):
+    def raygen(provider, u=None, v=None):
         """Jittered primary ray (random_ray_from_uv, wgsl:139-156)."""
+        if u is None:
+            u, v = halves[0][4], halves[0][5]
         if "no_jitter" in _DEBUG_PHASEA:  # timing probe: centered rays
             ju = jv = jnp.float32(0.5)
         else:
@@ -1203,7 +1244,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                                   n_spheres_padded, fast_disc=fast_disc)
 
     def bounce_core(o, d, active, b_vec, provider, ray_color, radiance,
-                    first_depth, intersect_fn=None):
+                    first_depth, intersect_fn=None, slattr_h=0):
         """One path segment for every lane: intersect, sky/emissive radiance,
         scatter. Returns the post-segment ray state plus hit/continue masks.
         ``b_vec`` may be a scalar (classic per-sample loop) or per-lane.
@@ -1230,7 +1271,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             # Shortlist-local gather: same bf16 hi/lo rows for the winner's
             # GLOBAL column, selected by its local slot — exact, and the
             # one-hot build runs over k_pad (≈32) columns instead of S+T.
-            center, mats = _gather_attrs(s_loc, slattr_ref[0],
+            center, mats = _gather_attrs(s_loc, slattr_ref[slattr_h],
                                          slattr_ref.shape[-1])
         else:
             center, mats = _gather_attrs(idx, attr_table,
@@ -1296,25 +1337,37 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         # Draws stay keyed by (pixel, sample, slot), so exact-RNG images agree
         # with the classic and persistent loops to fma-contraction ulps.
         spp_s = config.samples_per_pixel
+        n_slots = fuse * spp_s          # parked slots: half h's sample s at
+                                        # slot h·spp+s (fuse == 1: slot = s)
         k_cap = sl_ref.shape[-1] // 5   # primary.N_SL_ROWS
-        sl_row = jax.lax.rem(tile_id, 8)  # row within the 8-tile SMEM block
+        # Row within the 8-tile SMEM block: fused halves use consecutive rows
+        # (fuse | 8, so all of a tile's rows land in one 8-row group).
+        sl_row0 = jax.lax.rem(tile_id * fuse, 8)
 
-        def intersect_primary(o, d, active):
-            if slattr_ref is not None:
-                # The host only ships the local attr tables when NO block
-                # overflowed (and the scene has no triangles), so the
-                # overflow cond disappears entirely on this path.
-                return _intersect_shortlist(o, d, sl_ref, slmeta_ref, sl_row,
-                                            active & in_image, k_cap,
-                                            fast_disc=fast_disc)
-            # Per-block overflow flag → full walk (tile-uniform scalar branch;
-            # the carried operands are just the two result arrays).
-            return jax.lax.cond(
-                slmeta_ref[sl_row, 0] > 0.0,
-                lambda: intersect_full(o, d, active),
-                lambda: _intersect_shortlist(o, d, sl_ref, slmeta_ref, sl_row,
-                                             active & in_image, k_cap,
-                                             fast_disc=fast_disc)[:2])
+        def make_intersect_primary(h):
+            sl_row = sl_row0 + h
+            in_img_h = halves[h][2]
+
+            def intersect_primary(o, d, active):
+                if slattr_ref is not None:
+                    # The host only ships the local attr tables when NO block
+                    # overflowed (and the scene has no triangles), so the
+                    # overflow cond disappears entirely on this path.
+                    return _intersect_shortlist(o, d, sl_ref, slmeta_ref,
+                                                sl_row, active & in_img_h,
+                                                k_cap, fast_disc=fast_disc)
+                # Per-block overflow flag → full walk (tile-uniform scalar
+                # branch; the carried operands are just the two result
+                # arrays).
+                return jax.lax.cond(
+                    slmeta_ref[sl_row, 0] > 0.0,
+                    lambda: intersect_full(o, d, active),
+                    lambda: _intersect_shortlist(o, d, sl_ref, slmeta_ref,
+                                                 sl_row, active & in_img_h,
+                                                 k_cap,
+                                                 fast_disc=fast_disc)[:2])
+
+            return intersect_primary
 
         def st_write(s, f, val):
             st_ref[pl.ds(s, 1), pl.ds(f * TILE_SUB, TILE_SUB), :] = (
@@ -1332,55 +1385,74 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             dsum = dsum + jnp.where(died, depth_fin, 0.0)
             return cr, cg, cb, dsum
 
-        def phase_a(s, acc):
-            # ``s`` is a traced i32 scalar under fori_loop, a static python
-            # int under PHASEA_UNROLL (static slot ⇒ static st_write slices).
-            s_arr = jnp.int32(s)
-            cr, cg, cb, dsum, segsum = acc
-            act = in_image & (s_arr < target)
-            provider = make_provider(s_arr)
-            o, d = raygen(provider)
-            o, d, rc, rad, fd, cont = bounce_core(
-                o, d, act, s_arr * 0, provider, Vec3.full(n, 1.0, 1.0, 1.0),
-                Vec3.full(n, 0.0, 0.0, 0.0), jnp.full(n, INF, jnp.float32),
-                intersect_fn=intersect_primary)
-            if config.bounces < 1:
-                cont = cont & False
-            died = act & ~cont
-            if "no_harvest" not in _DEBUG_PHASEA:
-                cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
-            segsum = segsum + (1.0 if COUNT_ITERS
-                               else jnp.where(act, 1.0, 0.0))
-            if "no_st" in _DEBUG_PHASEA:  # timing probe: skip state parking
-                return cr, cg, cb, dsum, segsum
-            for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
-                           (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
-                           (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
-                           (ST_RADX, rad.x), (ST_RADY, rad.y),
-                           (ST_RADZ, rad.z), (ST_FD, fd),
-                           (ST_W, jnp.where(cont, 1.0, 0.0)),
-                           (ST_SID, jnp.broadcast_to(
-                               s_arr.astype(jnp.float32), n))):
-                st_write(s, f, val)
-            return cr, cg, cb, dsum, segsum
+        def make_phase_a(h):
+            _, _, in_img_h, pix_h, u_h, v_h = halves[h]
+            target_h = (jnp.minimum(sppmap_ref[h], spp)
+                        if sppmap_ref is not None else spp)
+            ip_h = make_intersect_primary(h)
 
-        acc0 = (zero2, zero2, zero2, zero2, zero2)
-        if PHASEA_UNROLL:
-            acc = acc0
-            for s in range(spp_s):
-                acc = phase_a(s, acc)
+            def phase_a(s, acc):
+                # ``s`` is a traced i32 scalar under fori_loop, a static
+                # python int under PHASEA_UNROLL (static slot ⇒ static
+                # st_write slices).
+                s_arr = jnp.int32(s)
+                slot = s + h * spp_s
+                cr, cg, cb, dsum, segsum = acc
+                act = in_img_h & (s_arr < target_h)
+                provider = make_provider(s_arr, pix=pix_h)
+                o, d = raygen(provider, u_h, v_h)
+                o, d, rc, rad, fd, cont = bounce_core(
+                    o, d, act, s_arr * 0, provider,
+                    Vec3.full(n, 1.0, 1.0, 1.0), Vec3.full(n, 0.0, 0.0, 0.0),
+                    jnp.full(n, INF, jnp.float32), intersect_fn=ip_h,
+                    slattr_h=h)
+                if config.bounces < 1:
+                    cont = cont & False
+                died = act & ~cont
+                if "no_harvest" not in _DEBUG_PHASEA:
+                    cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+                segsum = segsum + (1.0 if COUNT_ITERS
+                                   else jnp.where(act, 1.0, 0.0))
+                if "no_st" in _DEBUG_PHASEA:  # timing probe: skip parking
+                    return cr, cg, cb, dsum, segsum
+                for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
+                               (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
+                               (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
+                               (ST_RADX, rad.x), (ST_RADY, rad.y),
+                               (ST_RADZ, rad.z), (ST_FD, fd),
+                               (ST_W, jnp.where(cont, 1.0, 0.0)),
+                               (ST_SID, jnp.broadcast_to(
+                                   (s_arr + h * spp_s).astype(jnp.float32),
+                                   n))):
+                    st_write(slot, f, val)
+                return cr, cg, cb, dsum, segsum
+
+            return phase_a
+
+        crs, cgs, cbs, dsums = [], [], [], []
+        segsum = zero2
+        for h in range(fuse):
+            pa = make_phase_a(h)
+            acc0 = (zero2, zero2, zero2, zero2, segsum)
+            if PHASEA_UNROLL:
+                acc = acc0
+                for s in range(spp_s):
+                    acc = pa(s, acc)
+            else:
+                acc = jax.lax.fori_loop(0, spp_s, pa, acc0)
             cr, cg, cb, dsum, segsum = acc
-        else:
-            cr, cg, cb, dsum, segsum = jax.lax.fori_loop(
-                0, spp_s, phase_a, acc0)
+            crs.append(cr)
+            cgs.append(cg)
+            cbs.append(cb)
+            dsums.append(dsum)
 
         # Redirect compaction: slot s comes to hold the state of the first
         # ALIVE slot ≥ s (with its true sample id), so phase B's "next sample"
         # is always slot (consumed sid + 1) — no per-lane scanning.
         if "no_compact" not in _DEBUG_PHASEA:
             cur = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
-            cur[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
-            for s in reversed(range(spp_s)):
+            cur[ST_SID] = jnp.full(n, float(n_slots), jnp.float32)
+            for s in reversed(range(n_slots)):
                 slot = [st_read(s, f) for f in range(N_ST)]
                 alive = slot[ST_W] > 0.0
                 cur = [jnp.where(alive, slot[f], cur[f]) for f in range(N_ST)]
@@ -1390,20 +1462,20 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         if config.bounces >= 1:
             def fetch(slot_vec):
                 out = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
-                out[ST_SID] = jnp.full(n, float(spp_s), jnp.float32)
+                out[ST_SID] = jnp.full(n, float(n_slots), jnp.float32)
                 if _DEBUG_STATIC_FETCH:
                     # Timing probe (WRONG images, identical trip counts):
                     # w/sid stay one-hot so control flow is unchanged; the 13
                     # payload fields read one static slot.
-                    for k in range(1, spp_s):
+                    for k in range(1, n_slots):
                         m = slot_vec == k
                         for f in (ST_W, ST_SID):
                             out[f] = jnp.where(m, st_read(k, f), out[f])
                     for f in range(N_ST):
                         if f not in (ST_W, ST_SID):
-                            out[f] = st_read(min(1, spp_s - 1), f)
+                            out[f] = st_read(min(1, n_slots - 1), f)
                     return out
-                for k in range(1, spp_s):
+                for k in range(1, n_slots):
                     m = slot_vec == k
                     for f in range(N_ST):
                         out[f] = jnp.where(m, st_read(k, f), out[f])
@@ -1412,16 +1484,48 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             def cond(carry):
                 return jnp.max(carry[0]) > 0.0
 
+            def make_provider_b(slot_vec):
+                """Phase-B provider from the lane's parked SLOT id: with
+                fusion the exact-RNG stream re-derives (pixel, sample) from
+                (half, slot − half·spp) so draws stay keyed exactly as the
+                unfused program's (bit-identical images)."""
+                if fuse == 1 or not exact_rng:
+                    return make_provider(slot_vec)
+                pix = halves[0][3]
+                samp = slot_vec
+                for h in range(1, fuse):
+                    m = slot_vec >= h * spp_s
+                    pix = jnp.where(m, halves[h][3], pix)
+                    samp = jnp.where(m, slot_vec - h * spp_s, samp)
+                return make_provider(samp, pix=pix)
+
             def body_once(carry):
                 (w, sid_f, b_lane, o, d, rc, rad, fd,
-                 cr, cg, cb, dsum, segsum) = carry
+                 crs, cgs, cbs, dsums, segsum) = carry
                 active = w > 0.0
-                provider = make_provider(sid_f.astype(jnp.int32))
+                provider = make_provider_b(sid_f.astype(jnp.int32))
                 o, d, rc, rad, fd, cont = bounce_core(
                     o, d, active, b_lane, provider, rc, rad, fd)
                 cont = cont & (b_lane < config.bounces)
                 died = active & ~cont
-                cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+                if fuse == 1:
+                    cr0, cg0, cb0, ds0 = harvest(died, rad, fd, crs[0],
+                                                 cgs[0], cbs[0], dsums[0])
+                    crs, cgs, cbs, dsums = (cr0,), (cg0,), (cb0,), (ds0,)
+                else:
+                    # Route the dying lane's radiance to its slot's half.
+                    g = linear_to_gamma(rad)
+                    depth_fin = jnp.where(fd >= INF, fallback_far, fd)
+                    ncr, ncg, ncb, nds = [], [], [], []
+                    for h in range(fuse):
+                        m = (died & (sid_f >= float(h * spp_s))
+                             & (sid_f < float((h + 1) * spp_s)))
+                        ncr.append(crs[h] + jnp.where(m, g.x, 0.0))
+                        ncg.append(cgs[h] + jnp.where(m, g.y, 0.0))
+                        ncb.append(cbs[h] + jnp.where(m, g.z, 0.0))
+                        nds.append(dsums[h] + jnp.where(m, depth_fin, 0.0))
+                    crs, cgs, cbs, dsums = (tuple(ncr), tuple(ncg),
+                                            tuple(ncb), tuple(nds))
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(active, 1.0, 0.0))
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
@@ -1440,7 +1544,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 w = jnp.where(died, nxt[ST_W], w)
                 b_lane = jnp.where(cont, b_lane + 1, 1)
                 return (w, sid_f, b_lane, o, d, rc, rad, fd,
-                        cr, cg, cb, dsum, segsum)
+                        crs, cgs, cbs, dsums, segsum)
 
             def body(carry):
                 for _ in range(max(PHASEB_UNROLL, 1)):
@@ -1453,9 +1557,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                     Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
                     Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]),
                     Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ]),
-                    st0[ST_FD], cr, cg, cb, dsum, segsum)
+                    st0[ST_FD], tuple(crs), tuple(cgs), tuple(cbs),
+                    tuple(dsums), segsum)
             out = jax.lax.while_loop(cond, body, init)
-            (_, _, _, _, _, _, _, _, cr, cg, cb, dsum, segsum) = out
+            (_, _, _, _, _, _, _, _, crs, cgs, cbs, dsums, segsum) = out
+            crs, cgs, cbs, dsums = (list(crs), list(cgs), list(cbs),
+                                    list(dsums))
     elif persistent:
         # ---- persistent sampling: a lane whose path ends immediately starts
         # its pixel's next sample, so tiles stay near-full occupancy instead of
@@ -1570,11 +1677,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
     inv_spp = (np.float32(1.0 / config.samples_per_pixel) if normalize
                else np.float32(1.0))
-    out_r_ref[0] = cr * inv_spp
-    out_g_ref[0] = cg * inv_spp
-    out_b_ref[0] = cb * inv_spp
-    out_depth_ref[0] = dsum * inv_spp
+    if st_ref is None:
+        crs, cgs, cbs, dsums = [cr], [cg], [cb], [dsum]
+    for h in range(fuse):
+        out_r_ref[h] = crs[h] * inv_spp
+        out_g_ref[h] = cgs[h] * inv_spp
+        out_b_ref[h] = cbs[h] * inv_spp
+        out_depth_ref[h] = dsums[h] * inv_spp
     out_seg_ref[0] = segsum
+    for h in range(1, fuse):
+        out_seg_ref[h] = zero2
 
 
 class PallasScene(NamedTuple):
@@ -1947,7 +2059,11 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                       jnp.asarray(sample_offset, jnp.uint32),
                       jnp.uint32(nbx)]).reshape(1, 4)
 
-    grid = (n_tiles,)
+    # Block fusion (tile-tail pooling, PHASE_FUSE knob): one kernel instance
+    # renders ``fuse`` consecutive blocks; the grid shrinks and every
+    # per-tile spec grows a fused leading dim.
+    fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split)
+    grid = (n_tiles // fuse,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
     # executes the same program with XLA ops — slow but exact. The hardware PRNG
     # has no interpreter lowering, so the exact-RNG path is forced there.
@@ -1957,8 +2073,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     base_kernel = functools.partial(
         _render_kernel, config=config, n_spheres_padded=s,
         n_tris_padded=n_tris, exact_rng=exact_rng,
-        persistent=persistent, normalize=normalize)
-    tile_spec = pl.BlockSpec((1, TILE_SUB, 128), lambda i: (i, 0, 0),
+        persistent=persistent, normalize=normalize, fuse=fuse)
+    tile_spec = pl.BlockSpec((fuse, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -1988,19 +2104,23 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
             slmeta2d = jnp.concatenate(
                 [slmeta2d,
                  jnp.zeros((pad_rows, slmeta2d.shape[1]), jnp.float32)])
+        # Fused tiles read ``fuse`` consecutive rows of the 8-row group
+        # (fuse | 8, so i // (8 // fuse) delivers the right group).
         in_specs += [
-            pl.BlockSpec((8, sl2d.shape[1]), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, sl2d.shape[1]), lambda i: (i // (8 // fuse), 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, slmeta2d.shape[1]), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, slmeta2d.shape[1]),
+                         lambda i: (i // (8 // fuse), 0),
                          memory_space=pltpu.SMEM),
         ]
         scratch_shapes = [pltpu.VMEM(
-            (config.samples_per_pixel, N_ST * TILE_SUB, 128), jnp.float32)]
+            (fuse * config.samples_per_pixel, N_ST * TILE_SUB, 128),
+            jnp.float32)]
         extra_names += ["sl_ref", "slmeta_ref"]
         extra_args += [sl2d, slmeta2d]
         if slattr is not None:
             assert slattr.shape[0] == n_tiles and pscene.tri.shape[1] == 0
-            in_specs += [pl.BlockSpec((1,) + slattr.shape[1:],
+            in_specs += [pl.BlockSpec((fuse,) + slattr.shape[1:],
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)]
             extra_names += ["slattr_ref"]

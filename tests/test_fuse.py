@@ -1,0 +1,127 @@
+"""Block fusion (PHASE_FUSE — phase-split tile-tail pooling) bit-identity.
+
+Fusing F pixel blocks into one kernel instance reschedules WHICH lanes trace
+which parked samples per iteration, but every (pixel, sample) path sees the
+same exact-RNG draws and per-pixel accumulation order, so images must be
+BIT-identical to the unfused program — and the live-segment counter must
+agree exactly (fusion changes iterations, never traced segments).
+
+Reference behavior under reproduction: raytrace.wgsl:174-224 (per-sample
+loop); fusion is a pure TPU scheduling transform on top of it.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from bevyray_tpu import (RaytracedSphere, RenderConfig, StandardMaterial,
+                         Transform, rtiow)
+from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+from bevyray_tpu.kernels.pallas import megakernel as mk
+from bevyray_tpu.scene.world import World
+
+
+def _render(cfg, scene, cam, fuse, seed, chunk):
+    old = mk.PHASE_FUSE
+    mk.PHASE_FUSE = fuse
+    try:
+        r = PallasRenderer(dataclasses.replace(cfg, sphere_chunk=chunk))
+        f = r.render(scene, cam, seed=seed)
+        return np.asarray(f.image), float(f.rays_traced)
+    finally:
+        mk.PHASE_FUSE = old
+
+
+def test_resolve_fuse():
+    old = mk.PHASE_FUSE
+    try:
+        mk.PHASE_FUSE = "auto"
+        assert mk._resolve_fuse(510, 16, True) == 2   # headline shape
+        assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
+        assert mk._resolve_fuse(64, 4, True) == 8     # cap: fuse·spp ≤ 32
+        assert mk._resolve_fuse(7, 4, True) == 1      # indivisible tile count
+        assert mk._resolve_fuse(64, 4, False) == 1    # split-only
+        mk.PHASE_FUSE = 4
+        assert mk._resolve_fuse(64, 4, True) == 4
+        assert mk._resolve_fuse(64, 16, True) == 2    # clamped by slot cap
+        mk.PHASE_FUSE = 1
+        assert mk._resolve_fuse(64, 4, True) == 1
+    finally:
+        mk.PHASE_FUSE = old
+
+
+def test_fuse_bit_identical_materials():
+    """4-sphere scene (grouped walk), 2×2 block grid, fuse 1/2/4."""
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=4, bounces=4,
+                       level=3)
+    base, segs0 = _render(cfg, scene, cam, 1, seed=11, chunk=3101)
+    for fuse, chunk in ((2, 3102), (4, 3104)):
+        img, segs = _render(cfg, scene, cam, fuse, seed=11, chunk=chunk)
+        assert segs == segs0
+        assert np.array_equal(base, img), f"fuse={fuse} diverged"
+
+
+def test_fuse_bit_identical_candidates():
+    """Candidate-walk path (forced) + defocus draws, fuse 2."""
+    w = World()
+    w.set_camera(Transform.from_xyz(0.0, 1.2, 6.0).looking_at((0.0, 0.5, 0.0)))
+    w.spawn_sphere(Transform.from_xyz(0.0, -1000.0, 0.0),
+                   RaytracedSphere(1000.0),
+                   StandardMaterial(base_color=(0.5, 0.5, 0.5)))
+    rng = np.random.default_rng(7)
+    for i in range(60):
+        x, z = rng.uniform(-4, 4, 2)
+        m = (StandardMaterial(base_color=tuple(rng.uniform(0.1, 0.9, 3)),
+                              metallic=1.0, perceptual_roughness=0.2)
+             if i % 3 == 0 else
+             StandardMaterial(base_color=tuple(rng.uniform(0.1, 0.9, 3))))
+        w.spawn_sphere(Transform.from_xyz(float(x), 0.3, float(z)),
+                       RaytracedSphere(0.3), m)
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=2, bounces=3,
+                       level=3, pallas_intersect="candidates")
+    base, segs0 = _render(cfg, scene, cam, 1, seed=4, chunk=3111)
+    img, segs = _render(cfg, scene, cam, 2, seed=4, chunk=3112)
+    assert segs == segs0
+    assert np.array_equal(base, img)
+
+
+def test_fuse_adaptive_spp_map():
+    """Per-lane sample targets (adaptive extension) respect fused halves."""
+    from bevyray_tpu.kernels.pallas.megakernel import (block_grid,
+                                                       render_tiles,
+                                                       shuffle_blocks)
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=4, bounces=2,
+                       level=3)
+    r = PallasRenderer(dataclasses.replace(cfg, sphere_chunk=3121))
+    pscene = r.prepare(scene)
+    sl, slmeta, slattr = r.shortlists(pscene, cam)
+    if sl is None:
+        pytest.skip("phase split disabled for this shape")
+    nbx, nby = block_grid(cfg)
+    import jax.numpy as jnp
+    ys = jnp.arange(128)[:, None]
+    xs = jnp.arange(128)[None, :]
+    spp_map = jnp.where((xs // 16 + ys // 16) % 2 == 0, 4, 1).astype(jnp.int32)
+    spp_map = shuffle_blocks(spp_map.reshape(-1), cfg).astype(jnp.int32)
+    assert spp_map.shape[0] == nbx * nby
+    outs = {}
+    for fuse in (1, 2):
+        old = mk.PHASE_FUSE
+        mk.PHASE_FUSE = fuse
+        try:
+            outs[fuse] = [np.asarray(x) for x in render_tiles(
+                pscene, cam, cfg, jnp.uint32(9), sl=sl, slmeta=slmeta,
+                slattr=slattr, spp_map=spp_map, normalize=False)]
+        finally:
+            mk.PHASE_FUSE = old
+    for a, b in zip(outs[1], outs[2]):
+        assert np.array_equal(a, b)
