@@ -108,16 +108,23 @@ MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under V
 # power of two with fuse·spp ≤ MAX_SPLIT_SPP that divides the local tile
 # count). Bit-identical on the exact-RNG path (draws stay keyed by
 # (pixel, sample); per-pixel accumulation order is unchanged); the hw-PRNG
-# stream reseeds per fused tile (no bit contract there).
-PHASE_FUSE = 1
+# stream reseeds per fused tile (no bit contract there). Hardware A/B
+# (FUSE_AB_r04.json, paired): headline fuse=2 +0.8% (402.4 vs 399.3 Mrays/s),
+# dense fuse=2 +6.6% / fuse=4 +15.3% (31.6 vs 27.4) — ships "auto", which
+# stays at the MEASURED points: no fusion under 128 padded spheres (config-1
+# smoke: fuse=8 on the 2-sphere 256²/4spp scene ran 38.2 ms vs 30.8 unfused
+# — tiny per-iteration cost makes the slot-scaled fetch chain a net loss)
+# and a cap of 4 (8 unmeasured as a win anywhere).
+PHASE_FUSE = "auto"
 
 
-def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool) -> int:
+def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
+                  n_spheres_padded: int = 1 << 30) -> int:
     if not phase_split:
         return 1
     want = PHASE_FUSE
     if want == "auto":
-        want = 8
+        want = 4 if n_spheres_padded >= 128 else 1
     want = int(want)
     f = 1
     while (f < want and f < 8 and (f * 2) * spp <= MAX_SPLIT_SPP
@@ -2062,7 +2069,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     # Block fusion (tile-tail pooling, PHASE_FUSE knob): one kernel instance
     # renders ``fuse`` consecutive blocks; the grid shrinks and every
     # per-tile spec grows a fused leading dim.
-    fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split)
+    fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split, s)
     grid = (n_tiles // fuse,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
     # executes the same program with XLA ops — slow but exact. The hardware PRNG

@@ -39,9 +39,12 @@ def test_resolve_fuse():
         mk.PHASE_FUSE = "auto"
         assert mk._resolve_fuse(510, 16, True) == 2   # headline shape
         assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
-        assert mk._resolve_fuse(64, 4, True) == 8     # cap: fuse·spp ≤ 32
+        assert mk._resolve_fuse(64, 4, True) == 4     # auto caps at 4
         assert mk._resolve_fuse(7, 4, True) == 1      # indivisible tile count
         assert mk._resolve_fuse(64, 4, False) == 1    # split-only
+        assert mk._resolve_fuse(16, 4, True, 32) == 1  # tiny scene gate
+        mk.PHASE_FUSE = 8                              # explicit overrides
+        assert mk._resolve_fuse(64, 4, True, 32) == 8
         mk.PHASE_FUSE = 4
         assert mk._resolve_fuse(64, 4, True) == 4
         assert mk._resolve_fuse(64, 16, True) == 2    # clamped by slot cap
