@@ -50,7 +50,8 @@ def _new_film(n: int) -> AdaptiveFilm:
 
 def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
                    config: RenderConfig, frame_seed, sample_offset, reprobe,
-                   tolerance: float, sl=None, slmeta=None, slattr=None):
+                   tolerance: float, sl=None, slmeta=None, slattr=None,
+                   has_emissive: bool = True):
     """One pass: pixels with err >= tolerance trace config.samples_per_pixel
     fresh samples; the rest trace none. Returns the updated film.
 
@@ -68,7 +69,7 @@ def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
     r, g, b, depth, segs = render_tiles(
         pscene, cam, config, frame_seed, sample_offset=sample_offset,
         normalize=False, sl=sl, slmeta=slmeta, slattr=slattr,
-        spp_map=spp_map)
+        spp_map=spp_map, has_emissive=has_emissive)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
 
     took = want.astype(jnp.float32) * spp
@@ -100,9 +101,12 @@ def _adaptive_pass(film: AdaptiveFilm, pscene, cam: CameraState,
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_pass(config: RenderConfig, tolerance: float):
+def _jitted_pass(config: RenderConfig, tolerance: float,
+                 has_emissive: bool = True):
+    # has_emissive is static (parked-state layout — megakernel._st_layout).
     return jax.jit(functools.partial(_adaptive_pass, config=config,
-                                     tolerance=tolerance),
+                                     tolerance=tolerance,
+                                     has_emissive=has_emissive),
                    donate_argnames=("film",))
 
 
@@ -146,10 +150,14 @@ class AdaptiveRenderer:
                                                  pscene_cache_key)
         key, leaves = pscene_cache_key(scene)
         if self._pscene_cache is None or self._pscene_cache[0] != key:
+            from ..kernels.pallas.megakernel import scene_has_emissive
             self._pscene_cache = (key, leaves,
                                   jitted_prepare(self.config.pallas_cand_size,
                                                  self.config.pallas_grouping)(scene))
             self._sl_cache = None
+            # Static parked-state layout flag for this scene (lru-cached).
+            self._fn = _jitted_pass(self.config, self.tolerance,
+                                    scene_has_emissive(scene))
         return self._pscene_cache[2]
 
     def _shortlists(self, pscene, cam: CameraState, cam_key):

@@ -126,7 +126,8 @@ def _jitted_resolve(config: RenderConfig):
 
 def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
                            config: RenderConfig, frame_seed, sample_offset,
-                           sl=None, slmeta=None, slattr=None) -> Film:
+                           sl=None, slmeta=None, slattr=None,
+                           has_emissive: bool = True) -> Film:
     """Megakernel-backed accumulation: one fused kernel pass traces
     ``config.samples_per_pixel`` fresh samples (offset so streams never repeat)
     and returns SUMS that fold into the film."""
@@ -135,7 +136,8 @@ def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         slattr=slattr,
                                         sample_offset=sample_offset,
-                                        normalize=False, sl=sl, slmeta=slmeta)
+                                        normalize=False, sl=sl, slmeta=slmeta,
+                                        has_emissive=has_emissive)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
     return Film(color_sum=film.color_sum + Vec3(r, g, b),
                 depth_sum=film.depth_sum + depth,
@@ -144,8 +146,10 @@ def pallas_accumulate_impl(film: Film, pscene, cam: CameraState,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_pallas_accumulate(config: RenderConfig):
-    return jax.jit(functools.partial(pallas_accumulate_impl, config=config),
+def _jitted_pallas_accumulate(config: RenderConfig, has_emissive: bool = True):
+    # has_emissive is static (parked-state layout — megakernel._st_layout).
+    return jax.jit(functools.partial(pallas_accumulate_impl, config=config,
+                                     has_emissive=has_emissive),
                    donate_argnames=("film",))
 
 
@@ -193,11 +197,16 @@ class ProgressiveRenderer:
             # materials, triangles); keep them alive so ids stay unique.
             sid, leaves = pscene_cache_key(scene)
             if self._prepare_cache is None or self._prepare_cache[0] != sid:
+                from ..kernels.pallas.megakernel import scene_has_emissive
                 self._prepare_cache = (
                     sid, leaves,
                     jitted_prepare(self.config.pallas_cand_size,
                                    self.config.pallas_grouping)(scene))
                 self._sl_cache = None
+                # Static parked-state layout flag — re-fetch the jitted step
+                # for this scene's layout (lru-cached, cheap on repeats).
+                self._accumulate = _jitted_pallas_accumulate(
+                    self.config, scene_has_emissive(scene))
             pscene = self._prepare_cache[2]
             # Host-built primary shortlists for phase-split bounce 0 (cached;
             # the film already resets on camera change, so keying on the scene

@@ -20,7 +20,7 @@ from .renderer import FrameResult
 def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                        frame_seed, raster_color: Vec3, raster_depth,
                        exact_rng: bool = False, sl=None, slmeta=None,
-                       slattr=None) -> FrameResult:
+                       slattr=None, has_emissive: bool = True) -> FrameResult:
     h, w = config.height, config.width
     n = h * w
     if config.level == 0:   # Skip: raster passthrough, no tracing (wgsl:97-99)
@@ -32,7 +32,8 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
                            rays_traced=jnp.float32(0.0))
     r, g, b, depth, segs = render_tiles(pscene, cam, config, frame_seed,
                                         exact_rng=exact_rng, sl=sl,
-                                        slmeta=slmeta, slattr=slattr)
+                                        slmeta=slmeta, slattr=slattr,
+                                        has_emissive=has_emissive)
     r, g, b, depth = (unshuffle_blocks(x, config) for x in (r, g, b, depth))
     rt_color = Vec3(r, g, b)
     rt_depth = depth
@@ -45,9 +46,12 @@ def pallas_render_impl(pscene: PallasScene, cam: CameraState, config: RenderConf
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted(config: RenderConfig, exact_rng: bool):
+def _jitted(config: RenderConfig, exact_rng: bool, has_emissive: bool = True):
+    # has_emissive is static (it shapes the kernel's parked-state layout —
+    # megakernel._st_layout), so it keys its own compiled step.
     return jax.jit(functools.partial(pallas_render_impl, config=config,
-                                     exact_rng=exact_rng))
+                                     exact_rng=exact_rng,
+                                     has_emissive=has_emissive))
 
 
 class PallasRenderer:
@@ -74,6 +78,7 @@ class PallasRenderer:
         self._fn = _jitted(config, exact_rng)
         self._pscene_cache = None
         self._sl_cache = None
+        self._has_emissive = True  # refined per scene in prepare()
 
     def prepare(self, scene: SceneBuffers) -> PallasScene:
         # Key on every leaf that feeds prepare_pallas_scene (spheres AND
@@ -90,6 +95,12 @@ class PallasRenderer:
             return self._pscene_cache[2]
         pscene = jitted_prepare(self.config.pallas_cand_size,
                                 self.config.pallas_grouping)(scene)
+        # Static layout flag: non-emissive scenes skip the parked radiance
+        # planes entirely (megakernel._st_layout). Computed here where the
+        # buffers are concrete; cached alongside the prepared scene.
+        from ..kernels.pallas.megakernel import scene_has_emissive
+        self._has_emissive = scene_has_emissive(scene)
+        self._fn = _jitted(self.config, self.exact_rng, self._has_emissive)
         self._pscene_cache = (key, leaves, pscene)
         return pscene
 

@@ -93,10 +93,51 @@ SUPER = 8              # groups per supergroup (two-level culling, big scenes)
 # post-bounce-0 ray origin/direction, throughput color, accumulated radiance,
 # first-hit depth, alive weight, true sample id (redirect compaction reorders
 # slots, so the id rides along for RNG stream keying and next-slot arithmetic).
+# ST_W and (on non-emissive scenes) ST_RAD* are LOGICAL only — _st_layout
+# decides what's physically parked; the rest is derived (see its docstring).
 N_ST = 15
 (ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ, ST_RCX, ST_RCY, ST_RCZ,
  ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
-MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under VMEM
+
+
+def _st_layout(has_emissive: bool):
+    """Physically-stored parked-state fields (round 4 compaction — the scratch
+    footprint AND the restart fetch's per-slot select chain both scale with
+    this count, 15 → 14/11):
+
+    - ST_W is never stored: phase A parks ``sid = cont ? slot : n_slots``, so
+      aliveness is ``sid < n_slots`` both before and after the redirect
+      compaction (whose dead-tail default is also sid = n_slots).
+    - ST_RAD* is stored only when the scene has emissive materials: a
+      CONTINUING lane's radiance only grows via ray_color·emissive
+      (bounce_core) — a miss adds the background and dies the same step —
+      so on non-emissive scenes every parked-live slot's radiance is
+      exactly 0.0 and reads/fetches return a constant zero instead.
+      (The _DEBUG_DOUBLE_GATHER timing probe violates this at 1e-30 by
+      design — its images are documented as perturbed.)
+
+    Both cuts are bit-exact; tests/test_fuse.py pins forced-True vs computed
+    layouts on a non-emissive scene."""
+    fields = [ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ,
+              ST_RCX, ST_RCY, ST_RCZ]
+    if has_emissive:
+        fields += [ST_RADX, ST_RADY, ST_RADZ]
+    fields += [ST_FD, ST_SID]
+    return tuple(fields)
+
+
+def scene_has_emissive(scene: SceneBuffers) -> bool:
+    """Host-side static probe: does ANY material in the table emit? Drives the
+    parked-state layout (_st_layout) — conservative (table-wide, not just
+    referenced materials). Must be called on concrete buffers, not tracers."""
+    mt = scene.materials
+    return bool(np.any(np.asarray(mt.emissive_r))
+                or np.any(np.asarray(mt.emissive_g))
+                or np.any(np.asarray(mt.emissive_b)))
+MAX_SPLIT_SPP = 32     # phase-split spp gate (state scratch must fit VMEM)
+MAX_FUSE_SLOTS = 32    # fuse·spp slot cap — scratch is slots × len(_st_layout)
+                       # × 16 KiB planes; 32×15 (7.9 MB) is the proven-safe
+                       # footprint, probes may raise it under compact layouts
 # Pixel-blocks fused per kernel instance in phase-split mode (tile-tail
 # pooling): the round-4 direct counters (TITER_r04, SPEED_OF_LIGHT §11) show
 # phase B runs at 61% (headline) / 41.5% (dense 4 spp) lockstep occupancy —
@@ -105,8 +146,9 @@ MAX_SPLIT_SPP = 32     # state scratch is spp·N_ST·TILE KiB — cap it under V
 # (slots h·spp+s), so the while-loop tail is paid once per F blocks and the
 # straggler of per-lane SUMS replaces the sum of per-block stragglers
 # (classic variance pooling). Values: 1 (off) | 2 | 4 | 8 | "auto" (largest
-# power of two with fuse·spp ≤ MAX_SPLIT_SPP that divides the local tile
-# count). Bit-identical on the exact-RNG path (draws stay keyed by
+# power of two with fuse·spp ≤ MAX_FUSE_SLOTS; indivisible tile counts pad
+# the grid with cropped tail blocks). Bit-identical on the exact-RNG path
+# (draws stay keyed by
 # (pixel, sample); per-pixel accumulation order is unchanged); the hw-PRNG
 # stream reseeds per fused tile (no bit contract there). Hardware A/B
 # (FUSE_AB_r04.json, paired): headline fuse=2 +0.8% (402.4 vs 399.3 Mrays/s),
@@ -127,8 +169,12 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
         want = 4 if n_spheres_padded >= 128 else 1
     want = int(want)
     f = 1
-    while (f < want and f < 8 and (f * 2) * spp <= MAX_SPLIT_SPP
-           and n_tiles % (f * 2) == 0):
+    while f < want and f < 8 and (f * 2) * spp <= MAX_FUSE_SLOTS:
+        # Indivisible tile counts PAD the grid (render_tiles crops the tail):
+        # a padded block costs one tile's phase A (all lanes masked, phase B
+        # exits immediately), so cap the waste at ~6% of real blocks.
+        if ((-n_tiles) % (f * 2)) * 16 > n_tiles:
+            break
         f *= 2
     return f
 # Bounce iterations per phase-B while-loop step. The outer persistent loop
@@ -1130,7 +1176,8 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    grp_ref, out_r_ref, out_g_ref, out_b_ref, out_depth_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
-                   normalize: bool = True, fuse: int = 1, sl_ref=None,
+                   normalize: bool = True, fuse: int = 1,
+                   has_emissive: bool = True, sl_ref=None,
                    slmeta_ref=None, slattr_ref=None, st_ref=None,
                    sppmap_ref=None):
     assert fuse == 1 or st_ref is not None, "block fusion is phase-split only"
@@ -1346,6 +1393,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         spp_s = config.samples_per_pixel
         n_slots = fuse * spp_s          # parked slots: half h's sample s at
                                         # slot h·spp+s (fuse == 1: slot = s)
+        n_slots_f = jnp.float32(n_slots)
+        stored = _st_layout(has_emissive)   # physical parked-state fields
+        phys = {f: i for i, f in enumerate(stored)}
         k_cap = sl_ref.shape[-1] // 5   # primary.N_SL_ROWS
         # Row within the 8-tile SMEM block: fused halves use consecutive rows
         # (fuse | 8, so all of a tile's rows land in one 8-row group).
@@ -1377,11 +1427,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             return intersect_primary
 
         def st_write(s, f, val):
-            st_ref[pl.ds(s, 1), pl.ds(f * TILE_SUB, TILE_SUB), :] = (
+            p = phys[f]
+            st_ref[pl.ds(s, 1), pl.ds(p * TILE_SUB, TILE_SUB), :] = (
                 val[None, :, :])
 
-        def st_read(k, f):  # static k
-            return st_ref[k, f * TILE_SUB:(f + 1) * TILE_SUB, :]
+        def st_read(k, f):  # static k; un-stored radiance planes read as 0
+            if f not in phys:
+                assert f in (ST_RADX, ST_RADY, ST_RADZ)
+                return zero2
+            p = phys[f]
+            return st_ref[k, p * TILE_SUB:(p + 1) * TILE_SUB, :]
 
         def harvest(died, rad, fd, cr, cg, cb, dsum):
             g = linear_to_gamma(rad)
@@ -1422,15 +1477,21 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                                    else jnp.where(act, 1.0, 0.0))
                 if "no_st" in _DEBUG_PHASEA:  # timing probe: skip parking
                     return cr, cg, cb, dsum, segsum
-                for f, val in ((ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
-                               (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
-                               (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z),
-                               (ST_RADX, rad.x), (ST_RADY, rad.y),
-                               (ST_RADZ, rad.z), (ST_FD, fd),
-                               (ST_W, jnp.where(cont, 1.0, 0.0)),
-                               (ST_SID, jnp.broadcast_to(
-                                   (s_arr + h * spp_s).astype(jnp.float32),
-                                   n))):
+                park = [(ST_OX, o.x), (ST_OY, o.y), (ST_OZ, o.z),
+                        (ST_DX, d.x), (ST_DY, d.y), (ST_DZ, d.z),
+                        (ST_RCX, rc.x), (ST_RCY, rc.y), (ST_RCZ, rc.z)]
+                if has_emissive:
+                    park += [(ST_RADX, rad.x), (ST_RADY, rad.y),
+                             (ST_RADZ, rad.z)]
+                # Aliveness rides the sid (no ST_W plane): dead slots park
+                # sid = n_slots, so alive ⟺ sid < n_slots before AND after
+                # compaction (whose dead-tail default is also n_slots).
+                park += [(ST_FD, fd),
+                         (ST_SID, jnp.where(
+                             cont,
+                             (s_arr + h * spp_s).astype(jnp.float32),
+                             n_slots_f))]
+                for f, val in park:
                     st_write(slot, f, val)
                 return cr, cg, cb, dsum, segsum
 
@@ -1457,39 +1518,44 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         # ALIVE slot ≥ s (with its true sample id), so phase B's "next sample"
         # is always slot (consumed sid + 1) — no per-lane scanning.
         if "no_compact" not in _DEBUG_PHASEA:
-            cur = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
-            cur[ST_SID] = jnp.full(n, float(n_slots), jnp.float32)
+            cur = {f: jnp.zeros(n, jnp.float32) for f in stored}
+            cur[ST_SID] = jnp.full(n, n_slots, jnp.float32)
             for s in reversed(range(n_slots)):
-                slot = [st_read(s, f) for f in range(N_ST)]
-                alive = slot[ST_W] > 0.0
-                cur = [jnp.where(alive, slot[f], cur[f]) for f in range(N_ST)]
-                for f in range(N_ST):
-                    st_ref[s, f * TILE_SUB:(f + 1) * TILE_SUB, :] = cur[f]
+                slot = {f: st_read(s, f) for f in stored}
+                alive = slot[ST_SID] < n_slots_f
+                cur = {f: jnp.where(alive, slot[f], cur[f]) for f in stored}
+                for f in stored:
+                    p = phys[f]
+                    st_ref[s, p * TILE_SUB:(p + 1) * TILE_SUB, :] = cur[f]
 
         if config.bounces >= 1:
             def fetch(slot_vec):
+                # Un-stored fields stay at their defaults: radiance planes are
+                # zero for every parked-live slot (see _st_layout), ST_W is
+                # derived by callers as sid < n_slots.
                 out = [jnp.zeros(n, jnp.float32) for _ in range(N_ST)]
-                out[ST_SID] = jnp.full(n, float(n_slots), jnp.float32)
+                out[ST_SID] = jnp.full(n, n_slots, jnp.float32)
                 if _DEBUG_STATIC_FETCH:
                     # Timing probe (WRONG images, identical trip counts):
-                    # w/sid stay one-hot so control flow is unchanged; the 13
+                    # sid stays one-hot so control flow is unchanged; the
                     # payload fields read one static slot.
                     for k in range(1, n_slots):
                         m = slot_vec == k
-                        for f in (ST_W, ST_SID):
-                            out[f] = jnp.where(m, st_read(k, f), out[f])
-                    for f in range(N_ST):
-                        if f not in (ST_W, ST_SID):
+                        out[ST_SID] = jnp.where(m, st_read(k, ST_SID),
+                                                out[ST_SID])
+                    for f in stored:
+                        if f != ST_SID:
                             out[f] = st_read(min(1, n_slots - 1), f)
                     return out
                 for k in range(1, n_slots):
                     m = slot_vec == k
-                    for f in range(N_ST):
+                    for f in stored:
                         out[f] = jnp.where(m, st_read(k, f), out[f])
                 return out
 
             def cond(carry):
-                return jnp.max(carry[0]) > 0.0
+                # carry[0] is sid_f; alive ⟺ sid < n_slots (no w array).
+                return jnp.min(carry[0]) < n_slots_f
 
             def make_provider_b(slot_vec):
                 """Phase-B provider from the lane's parked SLOT id: with
@@ -1507,9 +1573,21 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 return make_provider(samp, pix=pix)
 
             def body_once(carry):
-                (w, sid_f, b_lane, o, d, rc, rad, fd,
-                 crs, cgs, cbs, dsums, segsum) = carry
-                active = w > 0.0
+                # The w plane is derived (alive ⟺ sid < n_slots) and, on
+                # non-emissive scenes, the radiance carry is dropped: every
+                # live lane's radiance is exactly 0.0 between iterations
+                # (_st_layout docstring), so a fresh zero triple replaces
+                # three per-iteration VMEM round-trips; a dead lane's stale
+                # radiance was never read again anyway (harvest needs
+                # ``active``, which never resurrects).
+                if has_emissive:
+                    (sid_f, b_lane, o, d, rc, rad, fd,
+                     crs, cgs, cbs, dsums, segsum) = carry
+                else:
+                    (sid_f, b_lane, o, d, rc, fd,
+                     crs, cgs, cbs, dsums, segsum) = carry
+                    rad = Vec3(zero2, zero2, zero2)
+                active = sid_f < n_slots_f
                 provider = make_provider_b(sid_f.astype(jnp.int32))
                 o, d, rc, rad, fd, cont = bounce_core(
                     o, d, active, b_lane, provider, rc, rad, fd)
@@ -1536,7 +1614,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(active, 1.0, 0.0))
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
-                take = died & (nxt[ST_W] > 0.0)
+                take = died & (nxt[ST_SID] < n_slots_f)
                 o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
                                o)
                 d = Vec3.where(take, Vec3(nxt[ST_DX], nxt[ST_DY], nxt[ST_DZ]),
@@ -1544,13 +1622,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 rc = Vec3.where(take,
                                 Vec3(nxt[ST_RCX], nxt[ST_RCY], nxt[ST_RCZ]),
                                 rc)
-                rad = Vec3.where(
-                    take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]), rad)
                 fd = jnp.where(take, nxt[ST_FD], fd)
                 sid_f = jnp.where(died, nxt[ST_SID], sid_f)
-                w = jnp.where(died, nxt[ST_W], w)
                 b_lane = jnp.where(cont, b_lane + 1, 1)
-                return (w, sid_f, b_lane, o, d, rc, rad, fd,
+                if has_emissive:
+                    rad = Vec3.where(
+                        take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]),
+                        rad)
+                    return (sid_f, b_lane, o, d, rc, rad, fd,
+                            crs, cgs, cbs, dsums, segsum)
+                return (sid_f, b_lane, o, d, rc, fd,
                         crs, cgs, cbs, dsums, segsum)
 
             def body(carry):
@@ -1558,16 +1639,17 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                     carry = body_once(carry)
                 return carry
 
-            st0 = [st_read(0, f) for f in range(N_ST)]
-            init = (st0[ST_W], st0[ST_SID], jnp.ones(n, jnp.int32),
+            st0 = {f: st_read(0, f) for f in stored}
+            init = (st0[ST_SID], jnp.ones(n, jnp.int32),
                     Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
                     Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
-                    Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]),
-                    Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ]),
-                    st0[ST_FD], tuple(crs), tuple(cgs), tuple(cbs),
-                    tuple(dsums), segsum)
+                    Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]))
+            if has_emissive:
+                init += (Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ]),)
+            init += (st0[ST_FD], tuple(crs), tuple(cgs), tuple(cbs),
+                     tuple(dsums), segsum)
             out = jax.lax.while_loop(cond, body, init)
-            (_, _, _, _, _, _, _, _, crs, cgs, cbs, dsums, segsum) = out
+            crs, cgs, cbs, dsums, segsum = out[-5:]
             crs, cgs, cbs, dsums = (list(crs), list(cgs), list(cbs),
                                     list(dsums))
     elif persistent:
@@ -2030,7 +2112,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                  frame_seed, exact_rng: bool = False, block_offset=0,
                  sample_offset=0, n_blocks_local=None, normalize: bool = True,
                  persistent: bool = True, sl=None, slmeta=None, slattr=None,
-                 spp_map=None):
+                 spp_map=None, has_emissive: bool = True):
     """Run the megakernel over the frame (or one shard of it when
     ``block_offset``/``n_blocks_local``/``sample_offset`` describe a slice of a
     multi-chip frame). Returns (r, g, b, depth) as flat BLOCK-ORDERED arrays
@@ -2070,17 +2152,25 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     # renders ``fuse`` consecutive blocks; the grid shrinks and every
     # per-tile spec grows a fused leading dim.
     fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split, s)
-    grid = (n_tiles // fuse,)
+    # Indivisible tile counts pad the grid: tail blocks are either beyond the
+    # image (single chip: all lanes masked, phase B exits at once) or another
+    # shard's blocks recomputed-and-discarded (sharded path); all padded rows
+    # are cropped before the return, so outputs and the segment count are
+    # unchanged.
+    n_tiles_pad = -(-n_tiles // fuse) * fuse
+    grid = (n_tiles_pad // fuse,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
     # executes the same program with XLA ops — slow but exact. The hardware PRNG
     # has no interpreter lowering, so the exact-RNG path is forced there.
     interpret = jax.default_backend() != "tpu"
     if interpret:
         exact_rng = True
+    assert isinstance(has_emissive, bool)  # static — shapes the parked layout
     base_kernel = functools.partial(
         _render_kernel, config=config, n_spheres_padded=s,
         n_tris_padded=n_tris, exact_rng=exact_rng,
-        persistent=persistent, normalize=normalize, fuse=fuse)
+        persistent=persistent, normalize=normalize, fuse=fuse,
+        has_emissive=has_emissive)
     tile_spec = pl.BlockSpec((fuse, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
@@ -2121,23 +2211,34 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
                          memory_space=pltpu.SMEM),
         ]
         scratch_shapes = [pltpu.VMEM(
-            (fuse * config.samples_per_pixel, N_ST * TILE_SUB, 128),
+            (fuse * config.samples_per_pixel,
+             len(_st_layout(has_emissive)) * TILE_SUB, 128),
             jnp.float32)]
         extra_names += ["sl_ref", "slmeta_ref"]
         extra_args += [sl2d, slmeta2d]
         if slattr is not None:
             assert slattr.shape[0] == n_tiles and pscene.tri.shape[1] == 0
+            slattr = jnp.asarray(slattr, jnp.bfloat16)
+            if n_tiles_pad != n_tiles:
+                slattr = jnp.concatenate(
+                    [slattr, jnp.zeros((n_tiles_pad - n_tiles,)
+                                       + slattr.shape[1:], slattr.dtype)])
             in_specs += [pl.BlockSpec((fuse,) + slattr.shape[1:],
                                       lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM)]
             extra_names += ["slattr_ref"]
-            extra_args += [jnp.asarray(slattr, jnp.bfloat16)]
+            extra_args += [slattr]
     if spp_map is not None:
         assert spp_map.shape[0] == n_tiles, \
             "spp_map must cover exactly the local tile range"
+        spp_map = jnp.asarray(spp_map, jnp.int32)
+        if n_tiles_pad != n_tiles:
+            spp_map = jnp.concatenate(
+                [spp_map, jnp.zeros((n_tiles_pad - n_tiles,)
+                                    + spp_map.shape[1:], spp_map.dtype)])
         in_specs += [tile_spec]
         extra_names += ["sppmap_ref"]
-        extra_args += [jnp.asarray(spp_map, jnp.int32)]
+        extra_args += [spp_map]
 
     if extra_names:
         n_extra = len(extra_names)
@@ -2158,7 +2259,7 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         in_specs=in_specs,
         out_specs=[tile_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, TILE_SUB, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, TILE_SUB, 128), jnp.float32),
         ] * 5,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
@@ -2170,5 +2271,9 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     args += extra_args
     outs = outs_fn(*args)
     r, g, b, depth, segs = outs
+    if n_tiles_pad != n_tiles:
+        # Crop the padded tail blocks (and their segment counts — padded
+        # blocks either trace nothing or re-trace another shard's blocks).
+        r, g, b, depth, segs = (x[:n_tiles] for x in (r, g, b, depth, segs))
     flat = lambda x: x.reshape(n_tiles * TILE)
     return flat(r), flat(g), flat(b), flat(depth), jnp.sum(segs)

@@ -198,7 +198,8 @@ def make_sharded_step(mesh: Mesh, config: RenderConfig):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
+def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig,
+                                has_emissive: bool = True):
     from ..kernels.pallas.megakernel import (TILE, block_grid,
                                              prepare_pallas_scene, render_tiles,
                                              unshuffle_blocks)
@@ -225,7 +226,7 @@ def _pallas_sharded_step_cached(mesh: Mesh, config: RenderConfig):
             block_offset=(sp_i * blocks_local).astype(jnp.uint32),
             sample_offset=(dp_i * local_spp).astype(jnp.uint32),
             n_blocks_local=blocks_local, normalize=False,
-            sl=sl, slmeta=slmeta)
+            sl=sl, slmeta=slmeta, has_emissive=has_emissive)
         # Merge partial sample sums across dp; segments across everything.
         r, g, b, depth = (jax.lax.psum(x, "dp") for x in (r, g, b, depth))
         segs = jax.lax.psum(jax.lax.psum(segs, "dp"), "sp")
@@ -303,7 +304,9 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
                                 raster_depth=None) -> FrameResult:
     """Render one frame with the fused megakernel running SPMD over an
     (sp, dp, 1) mesh."""
-    step = _pallas_sharded_step_cached(mesh, config)
+    from ..kernels.pallas.megakernel import scene_has_emissive
+    step = _pallas_sharded_step_cached(mesh, config,
+                                       scene_has_emissive(scene))
     if raster_color is None:
         raster_color = Vec3.splat(jnp.float32(1.0))
     if raster_depth is None:

@@ -40,7 +40,9 @@ def test_resolve_fuse():
         assert mk._resolve_fuse(510, 16, True) == 2   # headline shape
         assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
         assert mk._resolve_fuse(64, 4, True) == 4     # auto caps at 4
-        assert mk._resolve_fuse(7, 4, True) == 1      # indivisible tile count
+        assert mk._resolve_fuse(510, 4, True) == 4    # pads 510 -> 512
+        assert mk._resolve_fuse(17, 2, True) == 2     # pads 17 -> 18
+        assert mk._resolve_fuse(7, 4, True) == 1      # padding waste > 6%
         assert mk._resolve_fuse(64, 4, False) == 1    # split-only
         assert mk._resolve_fuse(16, 4, True, 32) == 1  # tiny scene gate
         mk.PHASE_FUSE = 8                              # explicit overrides
@@ -128,3 +130,67 @@ def test_fuse_adaptive_spp_map():
             mk.PHASE_FUSE = old
     for a, b in zip(outs[1], outs[2]):
         assert np.array_equal(a, b)
+
+
+def test_st_layout_bit_identical():
+    """Parked-state layout (round 4): the compact 11-field layout (no ST_W,
+    no radiance planes — scene_has_emissive(scene) is False here) must be
+    BIT-identical to the full 14-field has_emissive=True layout; both cuts
+    are derivations, not approximations (megakernel._st_layout)."""
+    from bevyray_tpu.engine.pallas_renderer import _jitted
+    from bevyray_tpu.core.vec import Vec3
+    import jax.numpy as jnp
+
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=4, bounces=4,
+                       level=3, sphere_chunk=3131)
+    r = PallasRenderer(cfg)
+    assert mk.scene_has_emissive(scene) is False
+    f_compact = r.render(scene, cam, seed=13)      # computed flag: False
+    assert r._has_emissive is False
+    pscene = r.prepare(scene)
+    sl, slmeta, slattr = r.shortlists(pscene, cam)
+    f_full = _jitted(cfg, r.exact_rng, True)(      # forced 14-field layout
+        pscene=pscene, cam=cam, frame_seed=jnp.uint32(13),
+        raster_color=Vec3.splat(jnp.float32(1.0)),
+        raster_depth=jnp.float32(0.0), sl=sl, slmeta=slmeta, slattr=slattr)
+    assert np.array_equal(np.asarray(f_compact.image), np.asarray(f_full.image))
+    assert float(f_compact.rays_traced) == float(f_full.rays_traced)
+
+
+def test_emissive_scene_uses_full_layout_and_matches_oracle():
+    """An emissive scene must select the radiance-parking layout and still
+    match the oracle through the phase-split megakernel (exact RNG)."""
+    from bevyray_tpu.testing.oracle import (oracle_inputs_from_world,
+                                            render_oracle_fast)
+    from tests.test_extensions import _emissive_scene
+
+    world = _emissive_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=64, height=64, samples_per_pixel=2, bounces=4,
+                       level=3, sphere_chunk=3141)
+    r = PallasRenderer(cfg, exact_rng=True)
+    assert mk.scene_has_emissive(scene) is True
+    got = np.asarray(r.render(scene, cam, seed=4).image)
+    assert r._has_emissive is True
+    centers, radii, mats, camera = oracle_inputs_from_world(world)
+    want, _ = render_oracle_fast(centers, radii, mats, camera, 64, 64, 2, 4,
+                                 3, 4)
+    assert np.abs(got - want).mean() < 4e-3
+
+
+def test_fuse_grid_padding_bit_identical():
+    """Indivisible tile counts pad the grid (17 tiles -> 18 at fuse 2); the
+    cropped result and segment count must match the unfused program exactly."""
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1088 / 64)
+    cfg = RenderConfig(width=1088, height=64, samples_per_pixel=2, bounces=2,
+                       level=3)
+    base, segs0 = _render(cfg, scene, cam, 1, seed=21, chunk=3151)
+    img, segs = _render(cfg, scene, cam, 2, seed=21, chunk=3152)
+    assert segs == segs0
+    assert np.array_equal(base, img)
