@@ -135,9 +135,12 @@ def scene_has_emissive(scene: SceneBuffers) -> bool:
                 or np.any(np.asarray(mt.emissive_g))
                 or np.any(np.asarray(mt.emissive_b)))
 MAX_SPLIT_SPP = 32     # phase-split spp gate (state scratch must fit VMEM)
-MAX_FUSE_SLOTS = 32    # fuse·spp slot cap — scratch is slots × len(_st_layout)
-                       # × 16 KiB planes; 32×15 (7.9 MB) is the proven-safe
-                       # footprint, probes may raise it under compact layouts
+MAX_FUSE_PLANES = 704  # fuse·spp·len(_st_layout) cap — scratch is planes ×
+                       # 16 KiB; 704 (= 64 slots × the compact 11-plane
+                       # layout, 11.3 MB) compiled and won on hardware
+                       # (SLOTS_AB_r04: headline fuse 4 +0.9% paired);
+                       # emissive scenes' 14-plane layout falls back to
+                       # fewer slots automatically
 # Pixel-blocks fused per kernel instance in phase-split mode (tile-tail
 # pooling): the round-4 direct counters (TITER_r04, SPEED_OF_LIGHT §11) show
 # phase B runs at 61% (headline) / 41.5% (dense 4 spp) lockstep occupancy —
@@ -146,9 +149,9 @@ MAX_FUSE_SLOTS = 32    # fuse·spp slot cap — scratch is slots × len(_st_layo
 # (slots h·spp+s), so the while-loop tail is paid once per F blocks and the
 # straggler of per-lane SUMS replaces the sum of per-block stragglers
 # (classic variance pooling). Values: 1 (off) | 2 | 4 | 8 | "auto" (largest
-# power of two with fuse·spp ≤ MAX_FUSE_SLOTS; indivisible tile counts pad
-# the grid with cropped tail blocks). Bit-identical on the exact-RNG path
-# (draws stay keyed by
+# power of two with fuse·spp·planes ≤ MAX_FUSE_PLANES; indivisible tile
+# counts pad the grid with cropped tail blocks). Bit-identical on the
+# exact-RNG path (draws stay keyed by
 # (pixel, sample); per-pixel accumulation order is unchanged); the hw-PRNG
 # stream reseeds per fused tile (no bit contract there). Hardware A/B
 # (FUSE_AB_r04.json, paired): headline fuse=2 +0.8% (402.4 vs 399.3 Mrays/s),
@@ -161,7 +164,7 @@ PHASE_FUSE = "auto"
 
 
 def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
-                  n_spheres_padded: int = 1 << 30) -> int:
+                  n_spheres_padded: int = 1 << 30, n_st: int = N_ST) -> int:
     if not phase_split:
         return 1
     want = PHASE_FUSE
@@ -169,7 +172,7 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
         want = 4 if n_spheres_padded >= 128 else 1
     want = int(want)
     f = 1
-    while f < want and f < 8 and (f * 2) * spp <= MAX_FUSE_SLOTS:
+    while f < want and f < 8 and (f * 2) * spp * n_st <= MAX_FUSE_PLANES:
         # Indivisible tile counts PAD the grid (render_tiles crops the tail):
         # a padded block costs one tile's phase A (all lanes masked, phase B
         # exits immediately), so cap the waste at ~6% of real blocks.
@@ -2151,7 +2154,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     # Block fusion (tile-tail pooling, PHASE_FUSE knob): one kernel instance
     # renders ``fuse`` consecutive blocks; the grid shrinks and every
     # per-tile spec grows a fused leading dim.
-    fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split, s)
+    fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split, s,
+                         len(_st_layout(has_emissive)))
     # Indivisible tile counts pad the grid: tail blocks are either beyond the
     # image (single chip: all lanes masked, phase B exits at once) or another
     # shard's blocks recomputed-and-discarded (sharded path); all padded rows

@@ -37,7 +37,9 @@ def test_resolve_fuse():
     old = mk.PHASE_FUSE
     try:
         mk.PHASE_FUSE = "auto"
-        assert mk._resolve_fuse(510, 16, True) == 2   # headline shape
+        assert mk._resolve_fuse(510, 16, True) == 2   # full 15-plane default
+        assert mk._resolve_fuse(510, 16, True, 512, 11) == 4   # headline ship
+        assert mk._resolve_fuse(510, 16, True, 512, 14) == 2   # emissive
         assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
         assert mk._resolve_fuse(64, 4, True) == 4     # auto caps at 4
         assert mk._resolve_fuse(510, 4, True) == 4    # pads 510 -> 512
@@ -49,7 +51,7 @@ def test_resolve_fuse():
         assert mk._resolve_fuse(64, 4, True, 32) == 8
         mk.PHASE_FUSE = 4
         assert mk._resolve_fuse(64, 4, True) == 4
-        assert mk._resolve_fuse(64, 16, True) == 2    # clamped by slot cap
+        assert mk._resolve_fuse(64, 16, True) == 2    # clamped by plane cap
         mk.PHASE_FUSE = 1
         assert mk._resolve_fuse(64, 4, True) == 1
     finally:
