@@ -168,15 +168,17 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
     if not phase_split:
         return 1
     want = PHASE_FUSE
-    if want == "auto":
+    auto = want == "auto"
+    if auto:
         want = 4 if n_spheres_padded >= 128 else 1
     want = int(want)
     f = 1
     while f < want and f < 8 and (f * 2) * spp * n_st <= MAX_FUSE_PLANES:
         # Indivisible tile counts PAD the grid (render_tiles crops the tail):
         # a padded block costs one tile's phase A (all lanes masked, phase B
-        # exits immediately), so cap the waste at ~6% of real blocks.
-        if ((-n_tiles) % (f * 2)) * 16 > n_tiles:
+        # exits immediately), so "auto" caps the waste at ~6% of real blocks;
+        # an explicit PHASE_FUSE accepts whatever padding it implies.
+        if auto and ((-n_tiles) % (f * 2)) * 16 > n_tiles:
             break
         f *= 2
     return f
