@@ -188,9 +188,15 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
 # the walk-prefix unroll exploits — exp_round3f). The body is exactly
 # idempotent on all-dead lanes (masked updates, zero harvest, no-op fetch),
 # so J>1 only adds a harmless partial pass at each tile's end. Round-4 ladder
-# (PHASEBJ_AB_r04.json, paired): J=3 +1.1% over J=2; J=4 regresses −0.5%
-# (the wasted tail passes overtake the saved carry round-trips).
-PHASEB_UNROLL = 3
+# (PHASEBJ_AB_r04.json, paired, PRE-fusion): J=3 +1.1% over J=2; J=4 −0.5%.
+# Re-tuned under fuse 4 + the compact layout (RETUNE_AB_r04 + RETUNE2_AB_r04,
+# two independent paired interleaved batteries): J=2 beats J=3 by +4.5% and
+# +9.3% — fusion multiplies the per-pass cost (F uniform-row blocks and an
+# F-wide accumulator tuple per body copy), so the wasted tail passes overtake
+# the saved carry round-trips one step earlier; a drift-matched fresh-process
+# pair agreed (J=2 390.7 vs J=3 345.0 Mrays/s). REMASK (8,) lost both confirm
+# arms — (5,) stays.
+PHASEB_UNROLL = 2
 SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # (measured: walk-all was 2.5% SLOWER than the chunked
                        # early-out even at k_cap=24 — the per-chunk consensus
