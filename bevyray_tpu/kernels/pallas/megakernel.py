@@ -100,10 +100,20 @@ N_ST = 15
  ST_RADX, ST_RADY, ST_RADZ, ST_FD, ST_W, ST_SID) = range(N_ST)
 
 
+# Accumulate first-hit depth in PHASE A (see _st_layout docstring): drops the
+# ST_FD plane from the parked state AND removes ``fd`` + the per-half
+# ``dsums`` tuple (fuse arrays!) from the phase-B while-carry — at fuse 4
+# that is 5 fewer carried (TILE_SUB, 128) arrays round-tripping VMEM per
+# iteration (the radiance-drop analog measured +2.2% for 4 arrays). False
+# keeps the round-3 parked-depth path as the A/B arm. Colors bit-exact
+# between arms; depth to f32-sum-order ulps.
+DEPTH_IN_A = False
+
+
 def _st_layout(has_emissive: bool):
     """Physically-stored parked-state fields (round 4 compaction — the scratch
     footprint AND the restart fetch's per-slot select chain both scale with
-    this count, 15 → 14/11):
+    this count, 15 → 13/10):
 
     - ST_W is never stored: phase A parks ``sid = cont ? slot : n_slots``, so
       aliveness is ``sid < n_slots`` both before and after the redirect
@@ -115,14 +125,26 @@ def _st_layout(has_emissive: bool):
       exactly 0.0 and reads/fetches return a constant zero instead.
       (The _DEBUG_DOUBLE_GATHER timing probe violates this at 1e-30 by
       design — its images are documented as perturbed.)
+    - ST_FD (DEPTH_IN_A, round 4): first-hit depth is written ONLY at
+      bounce 0 (bounce_core's ``b_vec == 0`` guard) and phase B restarts
+      parked samples at b_lane = 1, so a sample's depth is FINAL when
+      phase A parks it. Phase A therefore accumulates depth for every
+      ACTIVE sample (died or parked) and the field needs neither a plane,
+      a fetch select, nor a while-carry slot — and the per-half ``dsums``
+      accumulators leave the phase-B carry entirely (they close over the
+      loop). Colors are bit-exact vs the parked path; the depth SUM
+      reorders (strict sample order, the oracle's order) so depth matches
+      to f32-sum ulps only.
 
-    Both cuts are bit-exact; tests/test_fuse.py pins forced-True vs computed
-    layouts on a non-emissive scene."""
+    The ST_W/ST_RAD cuts are bit-exact; tests/test_fuse.py pins forced-True
+    vs computed layouts on a non-emissive scene and DEPTH_IN_A arms."""
     fields = [ST_OX, ST_OY, ST_OZ, ST_DX, ST_DY, ST_DZ,
               ST_RCX, ST_RCY, ST_RCZ]
     if has_emissive:
         fields += [ST_RADX, ST_RADY, ST_RADZ]
-    fields += [ST_FD, ST_SID]
+    if not DEPTH_IN_A:
+        fields += [ST_FD]
+    fields += [ST_SID]
     return tuple(fields)
 
 
@@ -1449,14 +1471,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             p = phys[f]
             return st_ref[k, p * TILE_SUB:(p + 1) * TILE_SUB, :]
 
-        def harvest(died, rad, fd, cr, cg, cb, dsum):
+        def harvest_color(died, rad, cr, cg, cb):
             g = linear_to_gamma(rad)
             cr = cr + jnp.where(died, g.x, 0.0)
             cg = cg + jnp.where(died, g.y, 0.0)
             cb = cb + jnp.where(died, g.z, 0.0)
+            return cr, cg, cb
+
+        def harvest_depth(mask, fd, dsum):
             depth_fin = jnp.where(fd >= INF, fallback_far, fd)
-            dsum = dsum + jnp.where(died, depth_fin, 0.0)
-            return cr, cg, cb, dsum
+            return dsum + jnp.where(mask, depth_fin, 0.0)
 
         def make_phase_a(h):
             _, _, in_img_h, pix_h, u_h, v_h = halves[h]
@@ -1483,7 +1507,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                     cont = cont & False
                 died = act & ~cont
                 if "no_harvest" not in _DEBUG_PHASEA:
-                    cr, cg, cb, dsum = harvest(died, rad, fd, cr, cg, cb, dsum)
+                    cr, cg, cb = harvest_color(died, rad, cr, cg, cb)
+                    # DEPTH_IN_A: fd is FINAL after bounce 0 (phase B restarts
+                    # at b_lane = 1), so every active sample's depth — parked
+                    # or died — accumulates here, in strict sample order.
+                    dsum = harvest_depth(act if DEPTH_IN_A else died,
+                                         fd, dsum)
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(act, 1.0, 0.0))
                 if "no_st" in _DEBUG_PHASEA:  # timing probe: skip parking
@@ -1497,8 +1526,9 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 # Aliveness rides the sid (no ST_W plane): dead slots park
                 # sid = n_slots, so alive ⟺ sid < n_slots before AND after
                 # compaction (whose dead-tail default is also n_slots).
-                park += [(ST_FD, fd),
-                         (ST_SID, jnp.where(
+                if ST_FD in phys:
+                    park += [(ST_FD, fd)]
+                park += [(ST_SID, jnp.where(
                              cont,
                              (s_arr + h * spp_s).astype(jnp.float32),
                              n_slots_f))]
@@ -1583,21 +1613,46 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                     samp = jnp.where(m, slot_vec - h * spp_s, samp)
                 return make_provider(samp, pix=pix)
 
-            def body_once(carry):
+            # Carry layout (conditional fields mirror the parked-state cuts):
+            #   sid_f, b_lane, o, d, rc, [rad if has_emissive],
+            #   [fd if parked], crs, cgs, cbs, [dsums if parked], segsum.
+            # ``parked`` ⟺ ST_FD in phys (DEPTH_IN_A=False legacy path).
+            carry_fd = ST_FD in phys
+
+            def pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
+                           crs, cgs, cbs, dsums, segsum):
+                t = (sid_f, b_lane, o, d, rc)
+                if has_emissive:
+                    t += (rad,)
+                if carry_fd:
+                    t += (fd,)
+                t += (crs, cgs, cbs)
+                if carry_fd:
+                    t += (dsums,)
+                return t + (segsum,)
+
+            def unpack_carry(carry):
+                it = iter(carry)
+                sid_f, b_lane, o, d, rc = (next(it) for _ in range(5))
                 # The w plane is derived (alive ⟺ sid < n_slots) and, on
                 # non-emissive scenes, the radiance carry is dropped: every
                 # live lane's radiance is exactly 0.0 between iterations
-                # (_st_layout docstring), so a fresh zero triple replaces
-                # three per-iteration VMEM round-trips; a dead lane's stale
-                # radiance was never read again anyway (harvest needs
-                # ``active``, which never resurrects).
-                if has_emissive:
-                    (sid_f, b_lane, o, d, rc, rad, fd,
-                     crs, cgs, cbs, dsums, segsum) = carry
-                else:
-                    (sid_f, b_lane, o, d, rc, fd,
-                     crs, cgs, cbs, dsums, segsum) = carry
-                    rad = Vec3(zero2, zero2, zero2)
+                # (_st_layout docstring); a dead lane's stale radiance was
+                # never read again anyway (harvest needs ``active``, which
+                # never resurrects). With DEPTH_IN_A, fd and the per-half
+                # dsums leave the carry too — depth was fully accumulated in
+                # phase A, so bounce_core gets a zero dummy (its fd output is
+                # unused and DCE'd; phase B never sees b_vec == 0).
+                rad = next(it) if has_emissive else Vec3(zero2, zero2, zero2)
+                fd = next(it) if carry_fd else zero2
+                crs, cgs, cbs = (next(it) for _ in range(3))
+                dsums = next(it) if carry_fd else None
+                return (sid_f, b_lane, o, d, rc, rad, fd,
+                        crs, cgs, cbs, dsums, next(it))
+
+            def body_once(carry):
+                (sid_f, b_lane, o, d, rc, rad, fd,
+                 crs, cgs, cbs, dsums, segsum) = unpack_carry(carry)
                 active = sid_f < n_slots_f
                 provider = make_provider_b(sid_f.astype(jnp.int32))
                 o, d, rc, rad, fd, cont = bounce_core(
@@ -1605,13 +1660,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 cont = cont & (b_lane < config.bounces)
                 died = active & ~cont
                 if fuse == 1:
-                    cr0, cg0, cb0, ds0 = harvest(died, rad, fd, crs[0],
-                                                 cgs[0], cbs[0], dsums[0])
-                    crs, cgs, cbs, dsums = (cr0,), (cg0,), (cb0,), (ds0,)
+                    cr0, cg0, cb0 = harvest_color(died, rad, crs[0],
+                                                  cgs[0], cbs[0])
+                    crs, cgs, cbs = (cr0,), (cg0,), (cb0,)
+                    if carry_fd:
+                        dsums = (harvest_depth(died, fd, dsums[0]),)
                 else:
                     # Route the dying lane's radiance to its slot's half.
                     g = linear_to_gamma(rad)
-                    depth_fin = jnp.where(fd >= INF, fallback_far, fd)
+                    if carry_fd:
+                        depth_fin = jnp.where(fd >= INF, fallback_far, fd)
                     ncr, ncg, ncb, nds = [], [], [], []
                     for h in range(fuse):
                         m = (died & (sid_f >= float(h * spp_s))
@@ -1619,9 +1677,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                         ncr.append(crs[h] + jnp.where(m, g.x, 0.0))
                         ncg.append(cgs[h] + jnp.where(m, g.y, 0.0))
                         ncb.append(cbs[h] + jnp.where(m, g.z, 0.0))
-                        nds.append(dsums[h] + jnp.where(m, depth_fin, 0.0))
-                    crs, cgs, cbs, dsums = (tuple(ncr), tuple(ncg),
-                                            tuple(ncb), tuple(nds))
+                        if carry_fd:
+                            nds.append(dsums[h]
+                                       + jnp.where(m, depth_fin, 0.0))
+                    crs, cgs, cbs = tuple(ncr), tuple(ncg), tuple(ncb)
+                    if carry_fd:
+                        dsums = tuple(nds)
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(active, 1.0, 0.0))
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
@@ -1633,17 +1694,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 rc = Vec3.where(take,
                                 Vec3(nxt[ST_RCX], nxt[ST_RCY], nxt[ST_RCZ]),
                                 rc)
-                fd = jnp.where(take, nxt[ST_FD], fd)
+                if carry_fd:
+                    fd = jnp.where(take, nxt[ST_FD], fd)
                 sid_f = jnp.where(died, nxt[ST_SID], sid_f)
                 b_lane = jnp.where(cont, b_lane + 1, 1)
                 if has_emissive:
                     rad = Vec3.where(
                         take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]),
                         rad)
-                    return (sid_f, b_lane, o, d, rc, rad, fd,
-                            crs, cgs, cbs, dsums, segsum)
-                return (sid_f, b_lane, o, d, rc, fd,
-                        crs, cgs, cbs, dsums, segsum)
+                return pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
+                                  crs, cgs, cbs, dsums, segsum)
 
             def body(carry):
                 for _ in range(max(PHASEB_UNROLL, 1)):
@@ -1651,18 +1711,23 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 return carry
 
             st0 = {f: st_read(0, f) for f in stored}
-            init = (st0[ST_SID], jnp.ones(n, jnp.int32),
-                    Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
-                    Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
-                    Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]))
-            if has_emissive:
-                init += (Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ]),)
-            init += (st0[ST_FD], tuple(crs), tuple(cgs), tuple(cbs),
-                     tuple(dsums), segsum)
+            init = pack_carry(
+                st0[ST_SID], jnp.ones(n, jnp.int32),
+                Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
+                Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
+                Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]),
+                (Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ])
+                 if has_emissive else None),
+                st0[ST_FD] if carry_fd else None,
+                tuple(crs), tuple(cgs), tuple(cbs),
+                tuple(dsums) if carry_fd else None, segsum)
             out = jax.lax.while_loop(cond, body, init)
-            crs, cgs, cbs, dsums, segsum = out[-5:]
-            crs, cgs, cbs, dsums = (list(crs), list(cgs), list(cbs),
-                                    list(dsums))
+            (_, _, _, _, _, _, _,
+             ocrs, ocgs, ocbs, odsums, segsum) = unpack_carry(out)
+            crs, cgs, cbs = list(ocrs), list(ocgs), list(ocbs)
+            if carry_fd:
+                dsums = list(odsums)
+            # else: dsums stays the phase-A-accumulated per-half list.
     elif persistent:
         # ---- persistent sampling: a lane whose path ends immediately starts
         # its pixel's next sample, so tiles stay near-full occupancy instead of

@@ -196,3 +196,32 @@ def test_fuse_grid_padding_bit_identical():
     img, segs = _render(cfg, scene, cam, 2, seed=21, chunk=3152)
     assert segs == segs0
     assert np.array_equal(base, img)
+
+
+def test_depth_in_a_arms():
+    """DEPTH_IN_A (round 4): first-hit depth is final after bounce 0 (phase B
+    restarts parked samples at b_lane = 1), so phase A can accumulate it for
+    every active sample, dropping the ST_FD plane and the fd + per-half dsums
+    while-carry entries. Colors and segment counts must be BIT-identical to
+    the parked-depth arm; the depth SUM reorders (strict sample order), so
+    depth agrees to f32-sum-order ulps only."""
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=4, bounces=4,
+                       level=3)
+    old_fuse, old_depth = mk.PHASE_FUSE, mk.DEPTH_IN_A
+    frames = {}
+    try:
+        mk.PHASE_FUSE = 2        # exercise the per-half dsum routing cut
+        for arm, flag, chunk in (("parked", False, 3161), ("in_a", True, 3162)):
+            mk.DEPTH_IN_A = flag
+            r = PallasRenderer(dataclasses.replace(cfg, sphere_chunk=chunk))
+            frames[arm] = r.render(scene, cam, seed=11)
+    finally:
+        mk.PHASE_FUSE, mk.DEPTH_IN_A = old_fuse, old_depth
+    a, b = frames["parked"], frames["in_a"]
+    assert np.array_equal(np.asarray(a.image), np.asarray(b.image))
+    assert float(a.rays_traced) == float(b.rays_traced)
+    da, db = np.asarray(a.rt_depth), np.asarray(b.rt_depth)
+    assert np.allclose(da, db, rtol=1e-6, atol=1e-4)
