@@ -106,8 +106,10 @@ N_ST = 15
 # that is 5 fewer carried (TILE_SUB, 128) arrays round-tripping VMEM per
 # iteration (the radiance-drop analog measured +2.2% for 4 arrays). False
 # keeps the round-3 parked-depth path as the A/B arm. Colors bit-exact
-# between arms; depth to f32-sum-order ulps.
-DEPTH_IN_A = False
+# between arms; depth to f32-sum-order ulps. Hardware A/B (DEPTHA_AB_r04,
+# paired interleaved): headline +2.7% (408.6 vs 397.8 Mrays/s), dense +1.7%
+# (30.4 vs 29.9) — ships True; shipped non-emissive layout is 10 planes.
+DEPTH_IN_A = True
 
 
 def _st_layout(has_emissive: bool):
@@ -158,11 +160,12 @@ def scene_has_emissive(scene: SceneBuffers) -> bool:
                 or np.any(np.asarray(mt.emissive_b)))
 MAX_SPLIT_SPP = 32     # phase-split spp gate (state scratch must fit VMEM)
 MAX_FUSE_PLANES = 704  # fuse·spp·len(_st_layout) cap — scratch is planes ×
-                       # 16 KiB; 704 (= 64 slots × the compact 11-plane
+                       # 16 KiB; 704 (= 64 slots × the then-compact 11-plane
                        # layout, 11.3 MB) compiled and won on hardware
-                       # (SLOTS_AB_r04: headline fuse 4 +0.9% paired);
-                       # emissive scenes' 14-plane layout falls back to
-                       # fewer slots automatically
+                       # (SLOTS_AB_r04: headline fuse 4 +0.9% paired); the
+                       # DEPTH_IN_A 10-plane ship point uses 640 of it at the
+                       # headline; emissive scenes' 13-plane layout falls
+                       # back to fewer slots automatically
 # Pixel-blocks fused per kernel instance in phase-split mode (tile-tail
 # pooling): the round-4 direct counters (TITER_r04, SPEED_OF_LIGHT §11) show
 # phase B runs at 61% (headline) / 41.5% (dense 4 spp) lockstep occupancy —

@@ -38,8 +38,10 @@ def test_resolve_fuse():
     try:
         mk.PHASE_FUSE = "auto"
         assert mk._resolve_fuse(510, 16, True) == 2   # full 15-plane default
-        assert mk._resolve_fuse(510, 16, True, 512, 11) == 4   # headline ship
-        assert mk._resolve_fuse(510, 16, True, 512, 14) == 2   # emissive
+        assert mk._resolve_fuse(510, 16, True, 512, 10) == 4   # headline ship
+        assert mk._resolve_fuse(510, 16, True, 512, 11) == 4   # pre-DEPTH_IN_A
+        assert mk._resolve_fuse(510, 16, True, 512, 14) == 2   # emissive (old)
+        assert mk._resolve_fuse(510, 16, True, 512, 13) == 2   # emissive ship
         assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
         assert mk._resolve_fuse(64, 4, True) == 4     # auto caps at 4
         assert mk._resolve_fuse(510, 4, True) == 4    # pads 510 -> 512
