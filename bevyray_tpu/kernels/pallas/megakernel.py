@@ -1168,6 +1168,16 @@ _DEBUG_DOUBLE_GATHER = False   # timing ablation: run a second, CSE-proof
                                # attribute gather per bounce and fold it in at
                                # 1e-30 weight — the frame-time delta IS the
                                # gather cost (path structure unchanged)
+_DEBUG_DOUBLE_DRAWS = False    # timing ablation: a second, CSE-proof
+                               # scatter_draws per bounce folded in at 1e-30
+                               # (prices the RNG rows; images/trip counts
+                               # unchanged at timing precision)
+_DEBUG_DOUBLE_FETCH = False    # timing ablation: a second, CSE-proof restart
+                               # fetch per phase-B iteration folded into the
+                               # counter at 1e-30 — unlike _DEBUG_STATIC_FETCH
+                               # this keeps images and trip counts EXACT (the
+                               # §15 confound), so the paired frame-time delta
+                               # IS the fetch chain's cost
 
 
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
@@ -1400,6 +1410,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             return o, d, ray_color, radiance, first_depth, active_hit
 
         u_metal, u_trans, u_reflect, ball1, ball2 = provider.scatter_draws(b_vec)
+        if _DEBUG_DOUBLE_DRAWS:
+            # b_vec + 7 shifts the stream (defeats CSE); 1e-30 weight leaves
+            # images and control flow untouched at timing precision.
+            um2, ut2, ur2, b1_2, b2_2 = provider.scatter_draws(b_vec + 7)
+            radiance = radiance + Vec3(um2 + b1_2.x, ut2 + b2_2.y,
+                                       ur2 + b1_2.z).scale(1e-30)
         sc = scatter(d, hit, mat, u_metal, u_trans, u_reflect, ball1, ball2,
                      diffuse_mode=config.diffuse_sampling)
 
@@ -1689,6 +1705,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(active, 1.0, 0.0))
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
+                if _DEBUG_DOUBLE_FETCH:
+                    # +2 (clamped) defeats CSE; summing every fetched plane
+                    # into the carried counter at 1e-30 defeats DCE while
+                    # leaving counts/images exact at timing precision.
+                    x2 = fetch(jnp.minimum(sid_f.astype(jnp.int32) + 2,
+                                           jnp.int32(n_slots)))
+                    extra = x2[stored[0]]
+                    for f in stored[1:]:
+                        extra = extra + x2[f]
+                    segsum = segsum + extra * 1e-30
                 take = died & (nxt[ST_SID] < n_slots_f)
                 o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
                                o)
