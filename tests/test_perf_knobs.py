@@ -79,6 +79,28 @@ def test_phase_a_ablation_knobs_still_compile():
     render((), unroll=True, chunk=140)
 
 
+def test_double_cost_probe_knobs_image_identical():
+    """_DEBUG_DOUBLE_FETCH / _DEBUG_DOUBLE_DRAWS (scripts/exp_round4_tb.py)
+    price t_B components by ADDING a CSE-proof second copy of one component
+    per iteration — valid only if images and trip counts stay effectively
+    identical (the SPEED_OF_LIGHT §15 lesson: a probe that perturbs control
+    flow prices the wrong thing). The fetch arm folds into the ray counter
+    only (bit-identical image); the draws arm folds 1e-30-weighted uniforms
+    into radiance (≤1e-12 after gamma on an exactly-0 pixel)."""
+    world = rtiow.final_scene(seed=5, grid=4)
+    ref = _render(world, CHEAP_KNOBS, chunk=188)
+    dfetch = _render(world, dict(CHEAP_KNOBS, _DEBUG_DOUBLE_FETCH=True),
+                     chunk=192)
+    ddraws = _render(world, dict(CHEAP_KNOBS, _DEBUG_DOUBLE_DRAWS=True),
+                     chunk=196)
+    assert float(dfetch.rays_traced) == float(ref.rays_traced)
+    np.testing.assert_array_equal(np.asarray(dfetch.image),
+                                  np.asarray(ref.image))
+    assert float(ddraws.rays_traced) == float(ref.rays_traced)
+    np.testing.assert_allclose(np.asarray(ddraws.image),
+                               np.asarray(ref.image), atol=1e-12)
+
+
 def test_pre_brute_probe_knobs_bit_identical():
     """BRUTE_FIRST_GROUPS / POP_BRUTE_FRAC ship 0/0.0 (measured negatives,
     kept as probe switches) — pin that their default-off code paths stay
