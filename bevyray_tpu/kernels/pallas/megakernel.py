@@ -1223,7 +1223,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                    out_seg_ref, *, config: RenderConfig, n_spheres_padded: int,
                    n_tris_padded: int, exact_rng: bool, persistent: bool = True,
                    normalize: bool = True, fuse: int = 1,
-                   has_emissive: bool = True, sl_ref=None,
+                   has_emissive: bool = True, n_tiles_local=None, sl_ref=None,
                    slmeta_ref=None, slattr_ref=None, st_ref=None,
                    sppmap_ref=None):
     assert fuse == 1 or st_ref is not None, "block fusion is phase-split only"
@@ -1253,10 +1253,20 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
     width_i = width_f.astype(jnp.int32)
     height_i = cam_ref[0, C_HEIGHT].astype(jnp.int32)
 
-    def _geom(blk):
+    def _geom(blk, loc):
         gpx = (blk % nbx) * BLOCK_W + (r % BLOCK_W)
         gpy = (blk // nbx) * BLOCK_H + (r // BLOCK_W)
         gin = (gpx < width_i) & (gpy < height_i)
+        if n_tiles_local is not None:
+            # Fused-grid padding: a padded tail half is beyond this call's
+            # local block range. On the sharded path its global coordinates
+            # alias the NEXT shard's in-image blocks, so without this mask the
+            # half would trace real samples whose segments land in the fused
+            # instance's row-0 segment count (which survives the [:n_tiles]
+            # crop) — overcounting rays_traced after the psum. Masking by the
+            # LOCAL index deactivates the half entirely (and skips its wasted
+            # recompute); real halves are untouched (lanes are independent).
+            gin = gin & (loc < n_tiles_local)
         # RNG streams stay keyed by the ROW-MAJOR pixel id so images are
         # identical to the XLA renderer regardless of tile shape.
         gpix = gpy * width_i + gpx
@@ -1264,7 +1274,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         gv = (gpy.astype(jnp.float32) + 0.5) / cam_ref[0, C_HEIGHT]
         return gpx, gpy, gin, gpix, gu, gv
 
-    halves = [_geom(block + h) for h in range(fuse)]
+    halves = [_geom(block + h, tile_id * fuse + h) for h in range(fuse)]
     px, py, in_image, pixel_index, u, v = halves[0]
 
     cam_pos = Vec3(cam_ref[0, C_POS_X], cam_ref[0, C_POS_Y], cam_ref[0, C_POS_Z])
@@ -2258,11 +2268,13 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
     # per-tile spec grows a fused leading dim.
     fuse = _resolve_fuse(n_tiles, config.samples_per_pixel, phase_split, s,
                          len(_st_layout(has_emissive)))
-    # Indivisible tile counts pad the grid: tail blocks are either beyond the
-    # image (single chip: all lanes masked, phase B exits at once) or another
-    # shard's blocks recomputed-and-discarded (sharded path); all padded rows
-    # are cropped before the return, so outputs and the segment count are
-    # unchanged.
+    # Indivisible tile counts pad the grid: padded tail blocks are masked
+    # inactive INSIDE the kernel by their local index (``n_tiles_local``
+    # below) — necessary on the sharded path, where a padded half's global
+    # coordinates alias the next shard's in-image blocks and its traced
+    # segments would otherwise inflate the fused instance's row-0 segment
+    # count (which survives the crop). Padded output rows are cropped before
+    # the return.
     n_tiles_pad = -(-n_tiles // fuse) * fuse
     grid = (n_tiles_pad // fuse,)
     # Off-TPU (tests, CPU dev) the kernel runs in the Pallas interpreter, which
@@ -2276,7 +2288,8 @@ def render_tiles(pscene: PallasScene, cam: CameraState, config: RenderConfig,
         _render_kernel, config=config, n_spheres_padded=s,
         n_tris_padded=n_tris, exact_rng=exact_rng,
         persistent=persistent, normalize=normalize, fuse=fuse,
-        has_emissive=has_emissive)
+        has_emissive=has_emissive,
+        n_tiles_local=n_tiles if n_tiles_pad != n_tiles else None)
     tile_spec = pl.BlockSpec((fuse, TILE_SUB, 128), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),

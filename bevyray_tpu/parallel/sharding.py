@@ -289,6 +289,27 @@ _SHARDED_SL_CACHE: "OrderedDict" = OrderedDict()
 _SHARDED_SL_CACHE_MAX = 8
 
 
+# has_emissive forces three device->host material transfers to compute, so the
+# sharded per-frame entry point caches it per scene (every other front-end
+# already computes it once behind a scene cache — ADVICE round 4).
+_HAS_EMISSIVE_CACHE: "OrderedDict" = OrderedDict()
+
+
+def _cached_has_emissive(scene: SceneBuffers) -> bool:
+    from ..kernels.pallas.megakernel import (pscene_cache_key,
+                                             scene_has_emissive)
+    key, leaves = pscene_cache_key(scene)
+    hit = _HAS_EMISSIVE_CACHE.get(key)
+    if hit is not None:
+        _HAS_EMISSIVE_CACHE.move_to_end(key)
+        return hit[1]
+    val = scene_has_emissive(scene)
+    _HAS_EMISSIVE_CACHE[key] = (leaves, val)
+    while len(_HAS_EMISSIVE_CACHE) > _SHARDED_SL_CACHE_MAX:
+        _HAS_EMISSIVE_CACHE.popitem(last=False)
+    return val
+
+
 def _pallas_scene_key(scene: SceneBuffers, cam: CameraState,
                       config: RenderConfig, sp: int, dp: int):
     # dp matters too: the cached gate decision keys on local_spp = spp // dp.
@@ -304,9 +325,8 @@ def render_frame_sharded_pallas(mesh: Mesh, scene: SceneBuffers, cam: CameraStat
                                 raster_depth=None) -> FrameResult:
     """Render one frame with the fused megakernel running SPMD over an
     (sp, dp, 1) mesh."""
-    from ..kernels.pallas.megakernel import scene_has_emissive
     step = _pallas_sharded_step_cached(mesh, config,
-                                       scene_has_emissive(scene))
+                                       _cached_has_emissive(scene))
     if raster_color is None:
         raster_color = Vec3.splat(jnp.float32(1.0))
     if raster_depth is None:

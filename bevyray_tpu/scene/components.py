@@ -192,12 +192,17 @@ class Transform:
         """Bevy ``Transform::looking_at`` semantics: forward towards target, up
         re-orthogonalized against forward."""
         eye = np.asarray(self.translation, np.float64)
-        fwd = np.asarray(target, np.float64) - eye
-        fwd /= np.linalg.norm(fwd)
-        upv = np.asarray(up, np.float64)
-        right = np.cross(fwd, upv)
-        right /= np.linalg.norm(right)
-        true_up = np.cross(right, fwd)
+        # Degenerate targets (target == eye, up ∥ forward) produce NaN basis
+        # vectors here and are rejected downstream with an actionable
+        # ValueError (world.camera_state); silence the intermediate divide
+        # warnings so the intentional-degenerate tests stay warning-clean.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fwd = np.asarray(target, np.float64) - eye
+            fwd /= np.linalg.norm(fwd)
+            upv = np.asarray(up, np.float64)
+            right = np.cross(fwd, upv)
+            right /= np.linalg.norm(right)
+            true_up = np.cross(right, fwd)
         return Transform(
             translation=tuple(float(v) for v in eye),
             forward=tuple(float(v) for v in fwd),

@@ -62,6 +62,38 @@ def test_sharded_megakernel_matches_single_device(world_and_scene, mesh_shape):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_sharded_indivisible_fuse_segments_exact():
+    """Regression (ADVICE round 4): with fused-grid padding on the sharded
+    path (blocks_local % fuse != 0), a padded tail half's global coordinates
+    alias the NEXT shard's in-image blocks — its lanes must be masked inactive
+    or their traced segments inflate the fused instance's row-0 segment count,
+    which survives the [:n_tiles] crop and overcounts rays_traced after the
+    psum. 128×192 → 6 blocks, sp=2 → 3 local, fuse 2 → each shard pads a
+    tail half aliasing the other shard's blocks."""
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.kernels.pallas import megakernel as mk
+    from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
+
+    world = rtiow.material_test_scene()
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=128.0 / 192.0)
+    cfg = RenderConfig(width=128, height=192, samples_per_pixel=2, bounces=2,
+                       level=3, sphere_chunk=8)
+    old = mk.PHASE_FUSE
+    mk.PHASE_FUSE = 2
+    try:
+        want = PallasRenderer(cfg).render(scene, cam, seed=7)
+        got = render_frame_sharded_pallas(make_mesh(2, 1, 1), scene, cam, cfg,
+                                          frame_seed=7)
+    finally:
+        mk.PHASE_FUSE = old
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               atol=1e-6)
+    assert float(got.rays_traced) == float(want.rays_traced), (
+        f"sharded rays_traced {float(got.rays_traced)} != single-device "
+        f"{float(want.rays_traced)} (padded-half segments leaked)")
+
+
 def test_sharded_megakernel_rejects_tp():
     from bevyray_tpu.parallel.sharding import render_frame_sharded_pallas
 
