@@ -34,13 +34,21 @@ def main():
         # (block_until_ready can return before execution completes there).
         return np.asarray(frame.image[0, 0])
 
-    # Warmup / compile.
+    # Warmup / compile, then 3 settle frames: the tunnel's first executions
+    # of a fresh program run slow, and windows drift ±5% between hours
+    # (round-4 protocol findings) — the drift fields below let the record
+    # say whether THIS capture sat in a slow window.
     frame = renderer.render(scene, cam, seed=0)
     sync(frame)
+    warm = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        sync(renderer.render(scene, cam, seed=100 + i))
+        warm.append(time.perf_counter() - t0)
 
     times = []
     rays = []   # per-seed ray counts: path lengths vary per seed, so the
-    n_frames = 8  # throughput numerator must come from the TIMED frames
+    n_frames = 12  # throughput numerator must come from the TIMED frames
     for i in range(n_frames):
         t0 = time.perf_counter()
         frame = renderer.render(scene, cam, seed=i + 1)   # varied seed: the
@@ -51,6 +59,9 @@ def main():
     p50 = float(np.percentile(times, 50))
     rays_per_frame = float(np.mean(rays))
     mrays = rays_per_frame / p50 / 1e6
+    half = n_frames // 2
+    drift = (float(np.percentile(times[half:], 50))
+             / float(np.percentile(times[:half], 50)))
 
     print(json.dumps({
         "metric": "Mrays/sec/chip (RTiOW final scene, 1080p, 16spp, 4 bounces)",
@@ -63,6 +74,13 @@ def main():
         # star"; this reads "% of what this kernel family can reach".
         "vs_family_ceiling_500": round(mrays / 500.0, 4),
         "p50_frame_ms": round(p50 * 1e3, 2),
+        # Window-drift diagnostics: best-quartile throughput (what a good
+        # window would record), second-half/first-half time ratio (>1 = the
+        # window degraded while timing), and the post-compile settle frames.
+        "mrays_p25": round(rays_per_frame
+                           / float(np.percentile(times, 25)) / 1e6, 2),
+        "drift_2nd_half_over_1st": round(drift, 4),
+        "warmup_settle_ms": [round(t * 1e3, 1) for t in warm],
         "rays_per_frame": int(rays_per_frame),
         "device": str(jax.devices()[0]),
         "n_spheres": world.n_spheres,

@@ -140,35 +140,77 @@ def build_ploc_np(bmin: np.ndarray, bmax: np.ndarray,
         right[:next_node], prim[:next_node], root
 
 
-def flatten_tree(node_min, node_max, left, right, prim, root):
+def flatten_tree(node_min, node_max, left, right, prim, root,
+                 max_leaf_size: int = 1):
     """Flatten a binary tree to the reference node layout (children adjacent,
-    root at 0 — extract.rs:323-332 semantics)."""
-    n_nodes = node_min.shape[0]
-    # Single-leaf scene: obvhs emits one leaf node at the root.
-    out_min = np.zeros((n_nodes, 3), np.float32)
-    out_max = np.zeros((n_nodes, 3), np.float32)
-    out_index = np.zeros(n_nodes, np.int32)
-    out_count = np.zeros(n_nodes, np.int32)
+    root at 0 — extract.rs:323-332 semantics).
 
-    slot_of = {}   # tree id -> flat slot
+    ``max_leaf_size > 1`` collapses every subtree holding ≤ that many prims
+    into ONE leaf (obvhs multi-prim leaves: extract.rs:229-237 model_count,
+    raytrace.wgsl:311 MAX_MODELS_PER_NODE / :348-362 leaf loop). Returns
+    ``(out_min, out_max, out_index, out_count, prim_ids)``: leaf prims are
+    CONTIGUOUS runs of ``prim_ids`` (the obvhs model reordering, kept as an
+    indirection so callers' primitive tables stay in extraction order) —
+    leaf ``k``'s original prim is ``prim_ids[index + k]``. With the default
+    ``max_leaf_size=1``, ``index`` is the original prim id directly and
+    ``prim_ids`` is the identity (the legacy ABI, bit-identical)."""
+    # Subtree prim counts (children were always emitted before parents by the
+    # PLOC merge loop, so ascending id order is a valid bottom-up sweep;
+    # original leaves occupy the low ids).
+    n_tree = node_min.shape[0]
+    sub = np.zeros(n_tree, np.int64)
+    for tid in range(n_tree):
+        sub[tid] = 1 if prim[tid] >= 0 else sub[left[tid]] + sub[right[tid]]
+
+    def leaf_run(tid):
+        """Subtree prim ids, left-to-right (deterministic leaf order)."""
+        out, stack = [], [tid]
+        while stack:
+            t = stack.pop()
+            if prim[t] >= 0:
+                out.append(int(prim[t]))
+            else:
+                stack.append(int(right[t]))
+                stack.append(int(left[t]))
+        return out
+
+    # Flat node count: leaves after collapse = L, nodes = 2L - 1.
+    mins, maxs, index, count = [], [], [], []
+    prim_ids = []
+    emit = lambda: (mins.append(None), maxs.append(None), index.append(0),
+                    count.append(0))
+
     next_slot = 1
     stack = [(root, 0)]
+    emit()
     while stack:
         tid, slot = stack.pop()
-        out_min[slot] = node_min[tid]
-        out_max[slot] = node_max[tid]
-        if prim[tid] >= 0:
-            out_index[slot] = prim[tid]
-            out_count[slot] = 1
+        mins[slot] = node_min[tid]
+        maxs[slot] = node_max[tid]
+        if sub[tid] <= max_leaf_size:
+            if max_leaf_size == 1:
+                index[slot] = int(prim[tid])   # legacy: id directly
+            else:
+                index[slot] = len(prim_ids)
+                prim_ids.extend(leaf_run(tid))
+            count[slot] = int(sub[tid])
         else:
             first = next_slot
             next_slot += 2
-            out_index[slot] = first
-            out_count[slot] = 0
+            emit()
+            emit()
+            index[slot] = first
+            count[slot] = 0
             stack.append((left[tid], first))
             stack.append((right[tid], first + 1))
-    assert next_slot == n_nodes or (n_nodes == 1 and next_slot == 1)
-    return out_min, out_max, out_index, out_count
+    out_min = np.stack(mins).astype(np.float32)
+    out_max = np.stack(maxs).astype(np.float32)
+    out_index = np.asarray(index, np.int32)
+    out_count = np.asarray(count, np.int32)
+    if max_leaf_size == 1:
+        prim_ids = np.arange(int(prim.max()) + 1, dtype=np.int32)  # identity
+    return out_min, out_max, out_index, out_count, \
+        np.asarray(prim_ids, np.int32)
 
 
 def triangle_aabbs(va: np.ndarray, vb: np.ndarray,
@@ -181,40 +223,56 @@ def triangle_aabbs(va: np.ndarray, vb: np.ndarray,
 
 
 def build_bvh_from_aabbs(bmin: np.ndarray, bmax: np.ndarray,
-                         capacity: int | None = None) -> BvhNodes:
+                         capacity: int | None = None,
+                         max_leaf_size: int = 1) -> BvhNodes:
     """Generic entry: PLOC over arbitrary leaf AABBs (native with NumPy
-    fallback), flattened to the reference node ABI."""
+    fallback), flattened to the reference node ABI. ``max_leaf_size > 1``
+    collapses ≤K-prim subtrees into multi-prim leaves (obvhs
+    MAX_MODELS_PER_NODE, raytrace.wgsl:311); leaf prims resolve through the
+    packed ``prim_ids`` indirection (see :func:`flatten_tree`)."""
     from . import native  # lazy; falls back silently if the .so isn't built
     built = native.build_ploc_native(bmin, bmax, SEARCH_RADIUS)
     if built is None:
         built = build_ploc_np(bmin, bmax)
     node_min, node_max, left, right, prim, root = built
-    fmin, fmax, index, count = flatten_tree(node_min, node_max, left, right,
-                                            prim, root)
-    return _pack_nodes(fmin, fmax, index, count, capacity)
+    fmin, fmax, index, count, prim_ids = flatten_tree(
+        node_min, node_max, left, right, prim, root,
+        max_leaf_size=max_leaf_size)
+    return _pack_nodes(fmin, fmax, index, count, capacity,
+                       prim_ids if max_leaf_size > 1 else None)
 
 
 def build_triangle_bvh(va: np.ndarray, vb: np.ndarray, vc: np.ndarray,
-                       capacity: int | None = None) -> BvhNodes:
+                       capacity: int | None = None,
+                       max_leaf_size: int = 1) -> BvhNodes:
     """[T,3] world-space corner arrays → flat BVH over triangles (the
     reference's planned ModelBVH, extract.rs:239-248; BASELINE config 5)."""
     bmin, bmax = triangle_aabbs(va, vb, vc)
-    return build_bvh_from_aabbs(bmin, bmax, capacity)
+    return build_bvh_from_aabbs(bmin, bmax, capacity,
+                                max_leaf_size=max_leaf_size)
 
 
 def build_scene_bvh(centers: np.ndarray, radii: np.ndarray,
-                    capacity: int | None = None) -> BvhNodes:
+                    capacity: int | None = None,
+                    max_leaf_size: int = 1) -> BvhNodes:
     """centers [N,3], radii [N] → padded device-resident flat BVH."""
     bmin, bmax = sphere_aabbs(centers, radii)
-    return build_bvh_from_aabbs(bmin, bmax, capacity)
+    return build_bvh_from_aabbs(bmin, bmax, capacity,
+                                max_leaf_size=max_leaf_size)
 
 
-def _pack_nodes(fmin, fmax, index, count, capacity: int | None) -> BvhNodes:
+def _pack_nodes(fmin, fmax, index, count, capacity: int | None,
+                prim_ids=None) -> BvhNodes:
     """Lane-pad flat node arrays into the device BvhNodes table."""
     n = fmin.shape[0]
     cap = capacity or pad_to(max(n, 1))
     pad = lambda a, fill, dt: np.concatenate(
         [a.astype(dt), np.full(cap - n, fill, dt)])
+    if prim_ids is not None:
+        npr = prim_ids.shape[0]
+        pcap = pad_to(max(npr, 1))
+        prim_ids = jnp.asarray(np.concatenate(
+            [prim_ids.astype(np.int32), np.zeros(pcap - npr, np.int32)]))
     return BvhNodes(
         min_x=jnp.asarray(pad(fmin[:, 0], 0, np.float32)),
         min_y=jnp.asarray(pad(fmin[:, 1], 0, np.float32)),
@@ -225,4 +283,5 @@ def _pack_nodes(fmin, fmax, index, count, capacity: int | None) -> BvhNodes:
         index=jnp.asarray(pad(index, 0, np.int32)),
         count=jnp.asarray(pad(count, 0, np.int32)),
         n_nodes=jnp.int32(n),
+        prim_ids=prim_ids,
     )

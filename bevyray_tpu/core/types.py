@@ -130,6 +130,11 @@ class BvhNodes(NamedTuple):
     index: jnp.ndarray   # i32
     count: jnp.ndarray   # i32
     n_nodes: jnp.ndarray  # i32 scalar
+    # Multi-prim leaves (obvhs model_count, wgsl:311): leaf k's ORIGINAL prim
+    # id is prim_ids[index + k] — an indirection instead of the reference's
+    # model-array reorder, so primitive tables stay in extraction order.
+    # None for 1-prim-leaf trees, where index is the prim id directly.
+    prim_ids: Optional[jnp.ndarray] = None  # i32, padded
 
 
 class SceneBuffers(NamedTuple):
@@ -199,6 +204,12 @@ class RenderConfig:
     # dense scenes, measured); "morton" = the round-1..3 in-jit morton sort.
     # Pure permutation — hit results are value-identical either way.
     pallas_grouping: str = "kd"
+    # Max prims per BVH leaf for the traversal backend (obvhs multi-prim
+    # leaves, raytrace.wgsl:311 MAX_MODELS_PER_NODE). Shapes the compiled
+    # leaf-test loop; the scene's BVH must be built with the SAME value
+    # (World.extract(bvh_leaf_size=...)) — a smaller build is fine (counts
+    # never exceed it), a larger one silently skips prims.
+    bvh_leaf_size: int = 1
 
     def __post_init__(self):
         # Fail at construction with actionable messages — these values shape
@@ -217,6 +228,9 @@ class RenderConfig:
                              "(Raytracing enum)")
         if self.sphere_chunk < 1:
             raise ValueError(f"sphere_chunk {self.sphere_chunk} must be >= 1")
+        if self.bvh_leaf_size < 1:
+            raise ValueError(f"bvh_leaf_size {self.bvh_leaf_size} must be "
+                             ">= 1")
         if self.pallas_cand_size % 8 or self.pallas_cand_size < 0:
             raise ValueError(f"pallas_cand_size {self.pallas_cand_size} must "
                              "be a non-negative multiple of 8 (0 = auto)")

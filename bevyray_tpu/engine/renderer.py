@@ -78,7 +78,9 @@ def make_intersect_fn(scene: SceneBuffers, config: RenderConfig):
         else:
             from ..kernels.traverse import intersect_bvh
 
-            return lambda o, d: intersect_bvh(o, d, scene.spheres, scene.bvh)
+            return lambda o, d: intersect_bvh(
+                o, d, scene.spheres, scene.bvh,
+                max_leaf_size=config.bvh_leaf_size)
     return lambda o, d: intersect_spheres(o, d, scene.spheres, config.sphere_chunk)
 
 
@@ -152,8 +154,9 @@ def trace_sample(scene: SceneBuffers, cam: CameraState, config: RenderConfig,
                                              triangle_hit_info)
             if resolved_backend == "bvh" and scene.tri_bvh is not None:
                 from ..kernels.traverse import intersect_bvh_triangles
-                tt, ti = intersect_bvh_triangles(c.origin, c.direction,
-                                                 scene.triangles, scene.tri_bvh)
+                tt, ti = intersect_bvh_triangles(
+                    c.origin, c.direction, scene.triangles, scene.tri_bvh,
+                    max_leaf_size=config.bvh_leaf_size)
             else:
                 tt, ti = intersect_triangles(c.origin, c.direction,
                                              scene.triangles)

@@ -11,6 +11,14 @@ for vector units (SURVEY.md §7 "hard parts" #1). It exists for (a) feature pari
 scenes where O(n) brute force loses to O(log n) traversal despite the gathers. For
 the reference's ~500-sphere scenes the dense path (intersect.py) is the fast path;
 ``engine.renderer`` picks per scene size.
+
+Multi-prim leaves (``max_leaf_size`` > 1, obvhs MAX_MODELS_PER_NODE —
+wgsl:311/:348-362): supported for node-ABI parity, but measured a LOSS on this
+lockstep walk (20k spheres / 65k rays, CPU, round 5: K=1 1.74 s, K=2 2.03 s,
+K=4 2.40 s, K=8 3.42 s) — every lane pays the K-prim leaf loop on every
+iteration whether or not it sits at a leaf, while the saved tree depth only
+shortens the walk ~logarithmically. On a divergence-free GPU wavefront the
+trade goes the other way; here K=1 stays the default.
 """
 
 from __future__ import annotations
@@ -146,10 +154,17 @@ def _intersect_bvh_generic(origin: Vec3, direction: Vec3, bvh: BvhNodes,
         first = bvh.index[node]
         is_leaf = active & (count > 0)
 
-        # --- leaf: test prims [first, first+count) (wgsl:348-362) -------------
+        # --- leaf: test prims [first, first+count) (wgsl:348-362). With
+        # multi-prim leaves the slot resolves through the prim_ids
+        # indirection (obvhs reorders the model array instead; same ABI
+        # semantics, extraction-order tables preserved) -----------------------
         new_t, new_i = best_t, best_i
         for k in range(max_leaf_size):
-            prim = jnp.clip(first + k, 0, capacity - 1)
+            if bvh.prim_ids is None:
+                prim = jnp.clip(first + k, 0, capacity - 1)
+            else:
+                slot = jnp.clip(first + k, 0, bvh.prim_ids.shape[0] - 1)
+                prim = jnp.clip(bvh.prim_ids[slot], 0, capacity - 1)
             t = leaf_t(prim)
             ok = is_leaf & (k < count) & (t < new_t)
             new_i = jnp.where(ok, prim, new_i)

@@ -213,9 +213,12 @@ class World:
     def n_raster(self) -> int:
         return sum(1 for *_, alive in self._raster if alive)
 
-    def extract(self, capacity: Optional[int] = None, with_bvh: bool = True) -> SceneBuffers:
-        """Build (or fetch cached) device scene buffers."""
-        key = (self._revision, capacity, with_bvh)
+    def extract(self, capacity: Optional[int] = None, with_bvh: bool = True,
+                bvh_leaf_size: int = 1) -> SceneBuffers:
+        """Build (or fetch cached) device scene buffers. ``bvh_leaf_size``:
+        max prims per BVH leaf (obvhs multi-prim leaves; must match the
+        renderer's ``config.bvh_leaf_size`` when the bvh backend is used)."""
+        key = (self._revision, capacity, with_bvh, bvh_leaf_size)
         cached = self._extract_cache.get("scene")
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -233,7 +236,8 @@ class World:
             mat_table = np.concatenate([mat_table, tri_mats], axis=0)
             if with_bvh:
                 from ..bvh import build_triangle_bvh
-                tri_bvh = build_triangle_bvh(va, vb, vc)
+                tri_bvh = build_triangle_bvh(va, vb, vc,
+                                             max_leaf_size=bvh_leaf_size)
 
         materials = make_materials_np(
             mat_table, pad_to(max(mat_table.shape[0], cap, 1)))
@@ -241,7 +245,8 @@ class World:
         bvh = None
         if with_bvh and len(radii) > 0:
             from ..bvh import build_scene_bvh  # lazy: avoids import cycle
-            bvh = build_scene_bvh(centers, radii)
+            bvh = build_scene_bvh(centers, radii,
+                                  max_leaf_size=bvh_leaf_size)
 
         scene = SceneBuffers(spheres=spheres, materials=materials, bvh=bvh,
                              triangles=triangles, tri_bvh=tri_bvh)

@@ -23,12 +23,19 @@ def _random_scene(n, seed):
     return centers, radii
 
 
-def _check_flat_bvh(fmin, fmax, index, count, n_prims):
-    """Structural invariants of the reference node layout (extract.rs:229-237)."""
+def _check_flat_bvh(fmin, fmax, index, count, prim_ids, n_prims,
+                    max_leaf_size=1):
+    """Structural invariants of the reference node layout (extract.rs:229-237);
+    with multi-prim leaves (wgsl:311) each leaf covers a contiguous
+    ``prim_ids`` run and every prim appears in exactly one run."""
     n_nodes = fmin.shape[0]
-    # Exactly n_prims leaves, each prim exactly once.
     leaves = count > 0
-    prims = index[leaves]
+    assert count.max() <= max_leaf_size
+    if max_leaf_size == 1:
+        prims = index[leaves]
+    else:
+        prims = np.concatenate([prim_ids[index[i]:index[i] + count[i]]
+                                for i in np.nonzero(leaves)[0]])
     assert sorted(prims.tolist()) == list(range(n_prims))
     # Inner nodes: children adjacent, in range, and contained in parent bounds.
     for i in np.nonzero(~leaves)[0]:
@@ -46,6 +53,24 @@ def test_numpy_ploc_invariants(n):
     tree = build_ploc_np(bmin, bmax)
     flat = flatten_tree(*tree)
     _check_flat_bvh(*flat, n_prims=n)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 100, 485])
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_multi_prim_leaf_invariants(n, k):
+    """Collapsed ≤k-prim leaves: every prim in exactly one contiguous
+    prim_ids run, counts ≤ k, parents still contain children."""
+    centers, radii = _random_scene(n, seed=n)
+    bmin, bmax = sphere_aabbs(centers, radii)
+    tree = build_ploc_np(bmin, bmax)
+    flat = flatten_tree(*tree, max_leaf_size=k)
+    _check_flat_bvh(*flat, n_prims=n, max_leaf_size=k)
+    # Leaf AABBs must still bound their prims' inflated boxes.
+    fmin, fmax, index, count, prim_ids = flat
+    for i in np.nonzero(count > 0)[0]:
+        ids = prim_ids[index[i]:index[i] + count[i]]
+        assert (fmin[i] <= bmin[ids] + 1e-5).all()
+        assert (fmax[i] >= bmax[ids] - 1e-5).all()
 
 
 def test_native_builder_available_and_valid():
@@ -79,10 +104,11 @@ def test_native_and_numpy_same_sah_quality():
 
 
 @pytest.mark.parametrize("n_spheres", [1, 5, 60, 300])
-def test_traversal_matches_brute_force(n_spheres):
+@pytest.mark.parametrize("leaf_size", [1, 4])
+def test_traversal_matches_brute_force(n_spheres, leaf_size):
     centers, radii = _random_scene(n_spheres, seed=n_spheres + 7)
     spheres = make_spheres_np(centers, radii, np.arange(n_spheres))
-    bvh = build_scene_bvh(centers, radii)
+    bvh = build_scene_bvh(centers, radii, max_leaf_size=leaf_size)
 
     rng = np.random.RandomState(0)
     n_rays = 256
@@ -93,7 +119,8 @@ def test_traversal_matches_brute_force(n_spheres):
     direction = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
 
     t_brute, i_brute = intersect_spheres(origin, direction, spheres)
-    t_bvh, i_bvh = intersect_bvh(origin, direction, spheres, bvh)
+    t_bvh, i_bvh = intersect_bvh(origin, direction, spheres, bvh,
+                                 max_leaf_size=leaf_size)
 
     np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(t_brute), rtol=1e-5)
     # Where ts tie between spheres the index may legitimately differ; require
@@ -151,7 +178,8 @@ def test_triangle_bvh_traversal_matches_brute_force():
     assert (np.asarray(i_bvh)[hit] == np.asarray(i_brute)[hit]).mean() > 0.99
 
 
-def test_mesh_scene_bvh_backend_matches_brute():
+@pytest.mark.parametrize("leaf_size", [1, 4])
+def test_mesh_scene_bvh_backend_matches_brute(leaf_size):
     from bevyray_tpu import (RenderConfig, Renderer, RaytracedCamera, Raytracing,
                              StandardMaterial, Transform, cube_mesh)
     from bevyray_tpu.scene.world import World
@@ -164,12 +192,13 @@ def test_mesh_scene_bvh_backend_matches_brute():
                    StandardMaterial(base_color=(0, 0, 1)))
     w.spawn_mesh(Transform.from_xyz(1.2, 0.5, 0), cube_mesh(1.0),
                  StandardMaterial(base_color=(1, 1, 0)))
-    scene = w.extract(with_bvh=True)
+    scene = w.extract(with_bvh=True, bvh_leaf_size=leaf_size)
     cam = w.camera_state(aspect=1.0)
     kw = dict(width=32, height=32, samples_per_pixel=2, bounces=3, level=3)
     brute = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="brute"))
                        .render(scene, cam, seed=4).image)
-    bvh = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="bvh"))
+    bvh = np.asarray(Renderer(RenderConfig(**kw, intersect_backend="bvh",
+                                           bvh_leaf_size=leaf_size))
                      .render(scene, cam, seed=4).image)
     np.testing.assert_allclose(bvh, brute, atol=1e-6)
 
