@@ -825,6 +825,206 @@ _REMASK_REBUILD = True   # probe: False = unroll the steps but skip the
                          # rebuild, isolating unroll-vs-remask contributions
 
 
+class _CandidateWalk:
+    """The candidate-group walk's composable pieces, parametrized by explicit
+    per-lane ray state — ONE source for the mask build and the walk step, so
+    the classic per-segment scheduling (``_intersect_candidates``) and the
+    flattened phase-B loop (``PHASEB_FLAT``) are bit-identical by
+    construction. Derived per-ray scalars (a, 1/d, q_min) recompute per call;
+    within one traced loop body XLA CSEs the duplicates, and across the flat
+    loop's iterations o/d change anyway.
+
+    Candidate-group geometry (must mirror prepare_pallas_scene): gc spheres
+    per group in chunk-major blocks (chunk = _cand_chunk(gc): GROUP when
+    32-aligned, else 16 or 8); unless gc == GROUP (base boxes reused), the
+    group AABBs live in extra gaabb columns after [groups | supergroups]."""
+
+    def __init__(self, sph_ref, grp_table, gaabb_ref, n_spheres: int,
+                 fast_disc: bool = False):
+        self.sph_ref = sph_ref
+        self.grp_table = grp_table
+        self.gaabb_ref = gaabb_ref
+        self.n_spheres = n_spheres
+        self.fast_disc = fast_disc
+        gc = grp_table.shape[0] // 4
+        self.gc = gc
+        self.chunk = _cand_chunk(gc)
+        self.n_chunks = gc // self.chunk
+        n32 = n_spheres // GROUP
+        self.n_cand = -(-n_spheres // gc)
+        assert self.n_cand <= 31 * MAX_CAND_WORDS
+        self.n_words = -(-self.n_cand // 31)
+        if gc == GROUP:
+            self.cand_off = 0
+        else:
+            n_super = -(-n32 // SUPER) if n32 >= 4 * SUPER else 0
+            self.cand_off = n32 + n_super
+        g_pad = grp_table.shape[1] // 3
+        # Group ids repeated for the hi|mid|lo column blocks (static concat —
+        # no vector modulo, which Mosaic lowers poorly).
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 128), 0)
+        self.iota_g3 = jnp.concatenate([iota_g, iota_g, iota_g], axis=0)
+        self.iota_k = jax.lax.broadcasted_iota(jnp.int32, (self.chunk, 128), 0)
+
+    def build(self, origin: Vec3, direction: Vec3, best_q, active,
+              keep_ties=False):
+        """Per-lane candidate bitmasks (slab test per group AABB): ``n_words``
+        i32 words per lane, group g in word g//31 bit g%31 (bit 31 of each
+        word stays clear so the values remain positive). Bit g set iff group
+        g's AABB is entered ahead of the lane's current best hit (a·t_near
+        rescale as in _intersect_grouped). ``keep_ties`` (the mid-walk
+        re-mask) prunes only strictly-later groups, so an exact
+        a·t_near == best_q fp coincidence can never drop a sphere that could
+        still win a lower-index q tie. Cross-arithmetic caveat: the slab
+        t_near and the quadratic hit q are computed differently, so in the
+        measure-zero case where a sphere's hit point lies exactly on its own
+        group-box face (the sphere defines that bound AND the ray grazes it)
+        an ulp flip could still prune an equal-q lower-index winner —
+        REMASK_SCHEDULE bit-identity assumes slab-t(face) ≥ quad-q(hit)/a at
+        the shared point, which holds for interior hits by construction
+        (boxes are +0-inflated unions of sphere extents, so t_near ≤ t_hit
+        geometrically; only exact-graze rounding can invert it)."""
+        gaabb_ref = self.gaabb_ref
+        a = direction.dot(direction)
+        ox, oy, oz = origin.x, origin.y, origin.z
+        idx = 1.0 / direction.x
+        idy = 1.0 / direction.y
+        idz = 1.0 / direction.z
+        masks = [jnp.zeros((TILE_SUB, 128), jnp.int32)
+                 for _ in range(self.n_words)]
+        for g in range(self.n_cand):
+            col = self.cand_off + g
+            tx1 = (gaabb_ref[0, col] - ox) * idx
+            tx2 = (gaabb_ref[3, col] - ox) * idx
+            ty1 = (gaabb_ref[1, col] - oy) * idy
+            ty2 = (gaabb_ref[4, col] - oy) * idy
+            tz1 = (gaabb_ref[2, col] - oz) * idz
+            tz2 = (gaabb_ref[5, col] - oz) * idz
+            t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
+                                             jnp.minimum(ty1, ty2)),
+                                 jnp.minimum(tz1, tz2))
+            t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
+                                            jnp.maximum(ty1, ty2)),
+                                jnp.maximum(tz1, tz2))
+            near_q = a * t_near
+            ahead = (near_q <= best_q) if keep_ties else (near_q < best_q)
+            useful = (t_far >= t_near) & (t_far > 0.0) & ahead
+            bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
+            masks[g // 31] = masks[g // 31] | bit
+        return tuple(jnp.where(active, m, 0) for m in masks)
+
+    def exhausted(self, masks):
+        """Per-lane: no candidate bits left (the walk is done)."""
+        live = masks[0]
+        for m in masks[1:]:
+            live = live | m
+        return live == 0
+
+    def step(self, origin: Vec3, direction: Vec3, masks, bq, bi):
+        """One candidate step for every lane: extract each lane's lowest-set
+        group id tile-wide (word 0 first — ascending group order keeps the
+        brute walk's index-ordered tie-keeping), gather ALL rows' candidate
+        groups with a single batched matmul (32 per-row matmuls measured 6×
+        slower: per-issue overhead + per-row (128,128) accumulator streaming
+        dominated), then test per row against register-resident (chunk, 128)
+        slices."""
+        grp_table = self.grp_table
+        chunk, n_chunks, gc = self.chunk, self.n_chunks, self.gc
+        n_words = self.n_words
+        a = direction.dot(direction)
+        ox, oy, oz = origin.x, origin.y, origin.z
+        dx, dy, dz = direction.x, direction.y, direction.z
+        q_min = a * T_MIN
+        fast_disc = self.fast_disc
+        # First non-empty word wins (ascending group order keeps the brute
+        # walk's index-ordered tie-keeping); ``off`` tracks its 31·i base.
+        word = masks[0]
+        off = jnp.zeros((TILE_SUB, 128), jnp.int32)
+        for i in range(1, n_words):
+            nxt = word == 0
+            word = jnp.where(nxt, masks[i], word)
+            off = jnp.where(nxt, jnp.int32(31 * i), off)
+        lsb = word & (-word)
+        # Exhausted lanes (all words 0) land on group 0 — a harmless re-test
+        # (every sphere lies inside its group box, so the lane either
+        # reproduces its old q and loses the strict < tie, or rejects again).
+        g_lane = _lsb_index(lsb) + jnp.where(word == 0, 0, off)
+        onehot = jnp.concatenate(
+            [(self.iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
+             for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
+
+        rows_q = [bq[r:r + 1, :] for r in range(TILE_SUB)]
+        rows_i = [bi[r:r + 1, :] for r in range(TILE_SUB)]
+        # One matmul per chunk of the candidate group (chunk-major table
+        # rows), reusing the step's one-hot — keeps the accumulator at
+        # (4·chunk, T·128) regardless of gc. All rows are tested
+        # unconditionally: a per-row lax.cond captures the accumulator as a
+        # branch operand and round-trips it through VMEM 32× per step
+        # (measured 5×).
+        rows_per_chunk = 4 * chunk
+        for c in range(n_chunks):
+            acc = jnp.dot(
+                grp_table[c * rows_per_chunk:(c + 1) * rows_per_chunk, :],
+                onehot, preferred_element_type=jnp.float32)   # (4·chunk, T·128)
+            for r in range(TILE_SUB):
+                sl = slice(r * 128, (r + 1) * 128)
+                cx = acc[0 * chunk:1 * chunk, sl]
+                cy = acc[1 * chunk:2 * chunk, sl]
+                cz = acc[2 * chunk:3 * chunk, sl]
+                r2 = acc[3 * chunk:4 * chunk, sl]
+                # Same test arithmetic as _intersect_grouped.one_sphere, with
+                # the row's ray data broadcast over the chunk sublane-spheres.
+                ocx = cx - ox[r:r + 1, :]
+                ocy = cy - oy[r:r + 1, :]
+                ocz = cz - oz[r:r + 1, :]
+                h = (dx[r:r + 1, :] * ocx + dy[r:r + 1, :] * ocy
+                     + dz[r:r + 1, :] * ocz)
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                disc = h * h - a[r:r + 1, :] * cc
+                if fast_disc:   # NaN(disc<0) > q_min is false — same reject
+                    q = h - jnp.sqrt(disc)
+                    ok = q > q_min[r:r + 1, :]
+                else:
+                    q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
+                qv = jnp.where(ok, q, INF)
+                iv = (g_lane[r:r + 1, :] * gc + (c * chunk)
+                      + self.iota_k)                          # (chunk, 128)
+                # Tree-reduce over the sphere sublanes; strict < keeps the
+                # lower-k (earlier) sphere on ties, and ascending chunk order
+                # keeps earlier chunks, matching the brute walk's order.
+                w = chunk
+                while w > 1:
+                    w //= 2
+                    take = qv[w:2 * w] < qv[:w]
+                    qv = jnp.where(take, qv[w:2 * w], qv[:w])
+                    iv = jnp.where(take, iv[w:2 * w], iv[:w])
+                # Explicit lower-index tie-break: the pre-brute may have
+                # visited HIGHER-index groups already, so ascending visit
+                # order alone no longer implies index-ordered tie-keeping.
+                better = (qv < rows_q[r]) | ((qv == rows_q[r])
+                                             & (iv < rows_i[r]))
+                rows_q[r] = jnp.where(better, qv, rows_q[r])
+                rows_i[r] = jnp.where(better, iv, rows_i[r])
+        # Rebuild tile arrays by concatenation (dynamic_update_slice has no
+        # Mosaic lowering on this jax version); clearing the consumed bit is a
+        # tile-wide no-op on exhausted lanes (0 & -1 == 0). Word i clears its
+        # lsb iff every lower word is empty (i.e. it was the selected word).
+        # NOTE: re-ANDing a fresh best-q-pruned mask here was measured 13%
+        # SLOWER (494 vs 436 ms at 1080p/16spp) — the per-step slab
+        # recompute's SMEM scalar traffic exceeds what pruning saves, because
+        # the while loop is bound by the straggler LANE's candidate count,
+        # which pruning rarely shortens.
+        new_masks = [masks[0] & (masks[0] - 1)]
+        lower_zero = masks[0] == 0
+        for i in range(1, n_words):
+            new_masks.append(jnp.where(lower_zero,
+                                       masks[i] & (masks[i] - 1), masks[i]))
+            lower_zero = lower_zero & (masks[i] == 0)
+        return (tuple(new_masks), jnp.concatenate(rows_q, axis=0),
+                jnp.concatenate(rows_i, axis=0))
+
+
 def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
                           gaabb_ref, active, n_spheres: int,
                           fast_disc: bool = False):
@@ -847,79 +1047,20 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
     segment even for bounce-incoherent rays, where tile-unanimous culling
     saves nothing (measured ~5%).
     """
+    walk = _CandidateWalk(sph_ref, grp_table, gaabb_ref, n_spheres,
+                          fast_disc=fast_disc)
     a = direction.dot(direction)
     inv_a = 1.0 / a
     ox, oy, oz = origin.x, origin.y, origin.z
     dx, dy, dz = direction.x, direction.y, direction.z
-    idx = 1.0 / dx
-    idy = 1.0 / dy
-    idz = 1.0 / dz
     q_min = a * T_MIN
+    gc, n_cand, n_words = walk.gc, walk.n_cand, walk.n_words
 
-    # Candidate-group geometry (must mirror prepare_pallas_scene): gc spheres
-    # per group in chunk-major blocks (chunk = _cand_chunk(gc): GROUP when
-    # 32-aligned, else 16 or 8); unless gc == GROUP (base boxes reused), the
-    # group AABBs live in extra gaabb columns after [groups | supergroups].
-    gc = grp_table.shape[0] // 4
-    chunk = _cand_chunk(gc)
-    n_chunks = gc // chunk
-    n32 = n_spheres // GROUP
-    n_cand = -(-n_spheres // gc)
-    assert n_cand <= 31 * MAX_CAND_WORDS
-    n_words = -(-n_cand // 31)
-    if gc == GROUP:
-        cand_off = 0
-    else:
-        n_super = -(-n32 // SUPER) if n32 >= 4 * SUPER else 0
-        cand_off = n32 + n_super
-    g_pad = grp_table.shape[1] // 3
-
-    # ---- phase A: per-lane candidate bitmasks (slab test per group AABB) ---
-    # ``n_words`` i32 words per lane: group g lives in word g//31, bit g%31
-    # (bit 31 of each word stays clear so the values remain positive).
     def build_mask(best_q, keep_ties=False):
-        """Bit g set iff group g's AABB is entered ahead of the lane's current
-        best hit (a·t_near rescale as in _intersect_grouped). ``keep_ties``
-        (the mid-walk re-mask) prunes only strictly-later groups, so an
-        exact a·t_near == best_q fp coincidence can never drop a sphere that
-        could still win a lower-index q tie. Cross-arithmetic caveat: the
-        slab t_near and the quadratic hit q are computed differently, so in
-        the measure-zero case where a sphere's hit point lies exactly on its
-        own group-box face (the sphere defines that bound AND the ray grazes
-        it) an ulp flip could still prune an equal-q lower-index winner —
-        REMASK_SCHEDULE bit-identity assumes slab-t(face) ≥ quad-q(hit)/a at
-        the shared point, which holds for interior hits by construction
-        (boxes are +0-inflated unions of sphere extents, so t_near ≤ t_hit
-        geometrically; only exact-graze rounding can invert it)."""
-        masks = [jnp.zeros((TILE_SUB, 128), jnp.int32) for _ in range(n_words)]
-        for g in range(n_cand):
-            col = cand_off + g
-            tx1 = (gaabb_ref[0, col] - ox) * idx
-            tx2 = (gaabb_ref[3, col] - ox) * idx
-            ty1 = (gaabb_ref[1, col] - oy) * idy
-            ty2 = (gaabb_ref[4, col] - oy) * idy
-            tz1 = (gaabb_ref[2, col] - oz) * idz
-            tz2 = (gaabb_ref[5, col] - oz) * idz
-            t_near = jnp.maximum(jnp.maximum(jnp.minimum(tx1, tx2),
-                                             jnp.minimum(ty1, ty2)),
-                                 jnp.minimum(tz1, tz2))
-            t_far = jnp.minimum(jnp.minimum(jnp.maximum(tx1, tx2),
-                                            jnp.maximum(ty1, ty2)),
-                                jnp.maximum(tz1, tz2))
-            near_q = a * t_near
-            ahead = (near_q <= best_q) if keep_ties else (near_q < best_q)
-            useful = (t_far >= t_near) & (t_far > 0.0) & ahead
-            bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
-            masks[g // 31] = masks[g // 31] | bit
-        return tuple(jnp.where(active, m, 0) for m in masks)
+        return walk.build(origin, direction, best_q, active,
+                          keep_ties=keep_ties)
 
     masks = build_mask(jnp.full((TILE_SUB, 128), INF, jnp.float32))
-
-    # Group ids repeated for the hi|mid|lo column blocks (static concat — no
-    # vector modulo, which Mosaic lowers poorly).
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 128), 0)
-    iota_g3 = jnp.concatenate([iota_g, iota_g, iota_g], axis=0)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
 
     best_q = jnp.full((TILE_SUB, 128), INF, jnp.float32)
     best_i = jnp.full((TILE_SUB, 128), -1, jnp.int32)
@@ -997,100 +1138,7 @@ def _intersect_candidates(origin: Vec3, direction: Vec3, sph_ref, grp_table,
 
     def walk_body(carry):
         masks, bq, bi = carry
-        # One candidate step for every lane: extract each lane's lowest-set
-        # group id tile-wide (word 0 first — ascending group order keeps the
-        # brute walk's index-ordered tie-keeping), gather ALL rows' candidate
-        # groups with a single batched matmul (32 per-row matmuls measured 6×
-        # slower: per-issue overhead + per-row (128,128) accumulator streaming
-        # dominated), then test per row against register-resident (chunk, 128)
-        # slices.
-        # First non-empty word wins (ascending group order keeps the brute
-        # walk's index-ordered tie-keeping); ``off`` tracks its 31·i base.
-        word = masks[0]
-        off = jnp.zeros((TILE_SUB, 128), jnp.int32)
-        for i in range(1, n_words):
-            nxt = word == 0
-            word = jnp.where(nxt, masks[i], word)
-            off = jnp.where(nxt, jnp.int32(31 * i), off)
-        lsb = word & (-word)
-        # Exhausted lanes (all words 0) land on group 0 — a harmless re-test
-        # (every sphere lies inside its group box, so the lane either
-        # reproduces its old q and loses the strict < tie, or rejects again).
-        g_lane = _lsb_index(lsb) + jnp.where(word == 0, 0, off)
-        onehot = jnp.concatenate(
-            [(iota_g3 == g_lane[r:r + 1, :]).astype(jnp.bfloat16)
-             for r in range(TILE_SUB)], axis=1)               # (3·g_pad, T·128)
-
-        rows_q = [bq[r:r + 1, :] for r in range(TILE_SUB)]
-        rows_i = [bi[r:r + 1, :] for r in range(TILE_SUB)]
-        # One matmul per chunk of the candidate group (chunk-major table
-        # rows), reusing the step's one-hot — keeps the accumulator at
-        # (4·chunk, T·128) regardless of gc. All rows are tested
-        # unconditionally: a per-row lax.cond captures the accumulator as a
-        # branch operand and round-trips it through VMEM 32× per step
-        # (measured 5×).
-        rows_per_chunk = 4 * chunk
-        for c in range(n_chunks):
-            acc = jnp.dot(
-                grp_table[c * rows_per_chunk:(c + 1) * rows_per_chunk, :],
-                onehot, preferred_element_type=jnp.float32)   # (4·chunk, T·128)
-            for r in range(TILE_SUB):
-                sl = slice(r * 128, (r + 1) * 128)
-                cx = acc[0 * chunk:1 * chunk, sl]
-                cy = acc[1 * chunk:2 * chunk, sl]
-                cz = acc[2 * chunk:3 * chunk, sl]
-                r2 = acc[3 * chunk:4 * chunk, sl]
-                # Same test arithmetic as _intersect_grouped.one_sphere, with
-                # the row's ray data broadcast over the chunk sublane-spheres.
-                ocx = cx - ox[r:r + 1, :]
-                ocy = cy - oy[r:r + 1, :]
-                ocz = cz - oz[r:r + 1, :]
-                h = (dx[r:r + 1, :] * ocx + dy[r:r + 1, :] * ocy
-                     + dz[r:r + 1, :] * ocz)
-                cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
-                disc = h * h - a[r:r + 1, :] * cc
-                if fast_disc:   # NaN(disc<0) > q_min is false — same reject
-                    q = h - jnp.sqrt(disc)
-                    ok = q > q_min[r:r + 1, :]
-                else:
-                    q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
-                    ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
-                qv = jnp.where(ok, q, INF)
-                iv = (g_lane[r:r + 1, :] * gc + (c * chunk)
-                      + iota_k)                               # (chunk, 128)
-                # Tree-reduce over the sphere sublanes; strict < keeps the
-                # lower-k (earlier) sphere on ties, and ascending chunk order
-                # keeps earlier chunks, matching the brute walk's order.
-                w = chunk
-                while w > 1:
-                    w //= 2
-                    take = qv[w:2 * w] < qv[:w]
-                    qv = jnp.where(take, qv[w:2 * w], qv[:w])
-                    iv = jnp.where(take, iv[w:2 * w], iv[:w])
-                # Explicit lower-index tie-break: the pre-brute may have
-                # visited HIGHER-index groups already, so ascending visit
-                # order alone no longer implies index-ordered tie-keeping.
-                better = (qv < rows_q[r]) | ((qv == rows_q[r])
-                                             & (iv < rows_i[r]))
-                rows_q[r] = jnp.where(better, qv, rows_q[r])
-                rows_i[r] = jnp.where(better, iv, rows_i[r])
-        # Rebuild tile arrays by concatenation (dynamic_update_slice has no
-        # Mosaic lowering on this jax version); clearing the consumed bit is a
-        # tile-wide no-op on exhausted lanes (0 & -1 == 0). Word i clears its
-        # lsb iff every lower word is empty (i.e. it was the selected word).
-        # NOTE: re-ANDing a fresh best-q-pruned mask here was measured 13%
-        # SLOWER (494 vs 436 ms at 1080p/16spp) — the per-step slab
-        # recompute's SMEM scalar traffic exceeds what pruning saves, because
-        # the while loop is bound by the straggler LANE's candidate count,
-        # which pruning rarely shortens.
-        new_masks = [masks[0] & (masks[0] - 1)]
-        lower_zero = masks[0] == 0
-        for i in range(1, n_words):
-            new_masks.append(jnp.where(lower_zero,
-                                       masks[i] & (masks[i] - 1), masks[i]))
-            lower_zero = lower_zero & (masks[i] == 0)
-        return (tuple(new_masks), jnp.concatenate(rows_q, axis=0),
-                jnp.concatenate(rows_i, axis=0))
+        return walk.step(origin, direction, masks, bq, bi)
 
     carry = (masks, best_q, best_i)
     steps_done = 0

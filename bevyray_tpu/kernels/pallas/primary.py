@@ -44,9 +44,21 @@ N_SL_ROWS = 5     # cx, cy, cz, r², global sphere index (exact in f32 ≤ 2^24)
 
 
 def shortlist_capacity(counts: np.ndarray) -> int:
-    """Static per-compile capacity: max block count rounded up to SL_CHUNK."""
+    """Static per-compile capacity: max block count rounded up to the next
+    power of two (≥ SL_CHUNK, ≤ SL_MAX).
+
+    Power-of-two quantization (round 5) exists for the MOVING-CAMERA path:
+    ``sl``/``slmeta``/``slattr`` shapes are jit-static, so every distinct
+    capacity is a full megakernel recompile (minutes on the TPU tunnel).
+    SL_CHUNK-granular rounding gave an orbiting camera a recompile nearly
+    every frame as the max block count wandered; pow2 buckets make the whole
+    orbit share one or two compiled shapes. Padding is inert (r² = -1e30
+    rows, +inf chunk t_lo — the kernel's early-out never enters them)."""
     need = int(counts.max()) if counts.size else 0
-    return max(SL_CHUNK, min(SL_MAX, -(-need // SL_CHUNK) * SL_CHUNK))
+    cap = SL_CHUNK
+    while cap < min(need, SL_MAX):
+        cap *= 2
+    return min(cap, SL_MAX)
 
 
 def live_mask(sph: np.ndarray) -> np.ndarray:
@@ -134,12 +146,13 @@ def shortlist_attr_tables(sl: np.ndarray, meta: np.ndarray,
     n_blocks, _, k_cap = sl.shape
     k_pad = max(32, -(-k_cap // 32) * 32)
     out = np.zeros((n_blocks, attr.shape[0], k_pad), attr.dtype)
-    live = sl[:, 3, :] > np.float32(-1e29)
-    idx = sl[:, 4, :].astype(np.int64)
-    for b in range(n_blocks):
-        m = live[b]
-        if m.any():
-            out[b, :, :k_cap][:, m] = attr[:, idx[b, m]]
+    live = sl[:, 3, :] > np.float32(-1e29)          # (B, K)
+    idx = sl[:, 4, :].astype(np.int64)              # padding rows carry 0
+    # One fancy-index gather for every (block, slot) pair — the per-block
+    # Python loop was the edit path's second-largest host term (dead slots
+    # gather column 0, then zero out).
+    out[:, :, :k_cap] = np.where(live[:, None, :],
+                                 attr[:, idx].transpose(1, 0, 2), 0.0)
     return out
 
 

@@ -113,6 +113,16 @@ def main():
            *_time(lambda s: r.render(sc, cam, seed=s, raster_color=rc,
                                      raster_depth=rd)))
 
+    # 6. interactive paths: orbit camera + per-frame sphere edit (VERDICT r4
+    #    item 3 — the reference's flycam/gizmo loop, main.rs:34-45). Full
+    #    detail (1080p + pipelined arms) lives in scripts/bench_orbit.py; this
+    #    row keeps the moving-camera p50 in the per-config evidence.
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_orbit import bench as orbit_bench
+    for row in orbit_bench(width=1280, height=720, spp=16, frames=12):
+        out.append(row)
+
     print(json.dumps({"device": str(jax.devices()[0]), "rows": len(out)}))
     return 0
 

@@ -259,3 +259,73 @@ def test_shortlist_local_gather_bit_identical():
     with_global, segs_g = run(None)
     np.testing.assert_array_equal(with_local, with_global)
     assert segs_l == segs_g
+
+
+def test_shortlist_capacity_pow2_buckets():
+    # Moving-camera compile stability: capacities are pow2 buckets in
+    # [SL_CHUNK, SL_MAX]; overflow demand still caps at SL_MAX.
+    from bevyray_tpu.kernels.pallas.primary import (SL_CHUNK, SL_MAX,
+                                                    shortlist_capacity)
+    cases = {0: SL_CHUNK, 1: SL_CHUNK, 8: 8, 9: 16, 23: 32, 33: 64, 64: 64,
+             65: 128, 300: 512, 512: 512, 5000: SL_MAX}
+    for need, want in cases.items():
+        got = shortlist_capacity(np.array([need, max(need // 2, 0)]))
+        assert got == want, (need, got, want)
+        assert got & (got - 1) == 0
+
+
+def test_orbit_shares_one_compiled_shortlist_shape():
+    # A 60° orbit around the final scene must touch at most two capacity
+    # buckets (each distinct capacity is a megakernel recompile) — host-only.
+    from bevyray_tpu.kernels.pallas.megakernel import prepare_pallas_scene
+    from bevyray_tpu.kernels.pallas.primary import build_block_shortlists
+    from bevyray_tpu.scene.components import Transform
+
+    world = rtiow.final_scene(seed=42, grid=8)
+    scene = world.extract(with_bvh=False)
+    cfg = RenderConfig(width=256, height=192, samples_per_pixel=2, bounces=2,
+                       level=3)
+    sph = np.asarray(jax.jit(prepare_pallas_scene)(scene).sph)
+    base = np.asarray(world.camera_transform.translation, np.float64)
+    target = base + np.asarray(world.camera_transform.forward, np.float64)
+    rel = base - target
+    radius, th0 = np.hypot(rel[0], rel[2]), np.arctan2(rel[2], rel[0])
+    caps = set()
+    for i in range(12):
+        th = th0 + np.deg2rad(60.0) * (i / 11 - 0.5)
+        pos = target + np.array([radius * np.cos(th), rel[1],
+                                 radius * np.sin(th)])
+        world.set_camera(Transform.from_xyz(*pos).looking_at(tuple(target)))
+        sl, _ = build_block_shortlists(sph, world.camera_state(aspect=4 / 3),
+                                       cfg)
+        caps.add(sl.shape[-1])
+    assert len(caps) <= 2, caps
+
+
+def test_shortlist_attr_tables_vectorized_matches_loop():
+    from bevyray_tpu.kernels.pallas.megakernel import prepare_pallas_scene
+    from bevyray_tpu.kernels.pallas.primary import (build_block_shortlists,
+                                                    shortlist_attr_tables)
+
+    world = rtiow.final_scene(seed=9, grid=6)
+    scene = world.extract(with_bvh=False)
+    cfg = RenderConfig(width=192, height=128, samples_per_pixel=2, bounces=2,
+                       level=3)
+    cam = world.camera_state(aspect=192 / 128)
+    pscene = jax.jit(prepare_pallas_scene)(scene)
+    sph, attr = np.asarray(pscene.sph), np.asarray(pscene.attr)
+    sl, meta = build_block_shortlists(sph, cam, cfg)
+    got = shortlist_attr_tables(sl, meta, attr)
+    assert got is not None
+
+    # Reference implementation: the pre-vectorization per-block loop.
+    n_blocks, _, k_cap = sl.shape
+    k_pad = max(32, -(-k_cap // 32) * 32)
+    want = np.zeros((n_blocks, attr.shape[0], k_pad), attr.dtype)
+    live = sl[:, 3, :] > np.float32(-1e29)
+    idx = sl[:, 4, :].astype(np.int64)
+    for b in range(n_blocks):
+        m = live[b]
+        if m.any():
+            want[b, :, :k_cap][:, m] = attr[:, idx[b, m]]
+    np.testing.assert_array_equal(got, want)
