@@ -222,6 +222,34 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
 # pair agreed (J=2 390.7 vs J=3 345.0 Mrays/s). REMASK (8,) lost both confirm
 # arms — (5,) stays.
 PHASEB_UNROLL = 2
+# FLATTENED phase-B walk (round 5 — the "new program family" for dense
+# scenes, VERDICT r4 item 2): instead of nesting the candidate walk's own
+# while loop inside each persistent-loop iteration — where every lane waits
+# for the tile's walk STRAGGLER before any lane may scatter/restart — the
+# outer loop runs FLAT_WALK_STEPS candidate steps per iteration and lanes
+# whose walk just exhausted immediately finish their segment (scatter,
+# harvest, restart, fresh mask) in the same iteration, masked per lane.
+# Per-segment walk cost drops from the tile MAX of entered groups to the
+# MEAN (dense kd replay: straggler 14.6 vs mean 3.10 — §7), in exchange for
+# paying the segment-fixed machinery (fetch/gather/draws/scatter/harvest +
+# a mask build) once per ITERATION instead of once per segment. The trade
+# only pays where straggler ≫ mean AND the fetch chain is short (few slots):
+# the dense 4-spp bench, not the 16-spp headline (63-slot fetch × mean-steps
+# would triple its biggest fixed term). Candidates-walk + no-triangles only;
+# value-identical to the nested scheduling (same per-lane visit order and
+# test arithmetic via _CandidateWalk; mid-walk re-masks are value-neutral by
+# construction). True | False | "auto" (dense gate at ≥2048 padded spheres).
+PHASEB_FLAT = "auto"
+FLAT_WALK_STEPS = 1   # candidate steps per outer iteration (retune knob)
+
+
+def _use_flat_walk(n_spheres_padded: int, use_candidates: bool,
+                   n_tris_padded: int) -> bool:
+    if not use_candidates or n_tris_padded:
+        return False
+    if PHASEB_FLAT == "auto":
+        return n_spheres_padded >= 2048
+    return bool(PHASEB_FLAT)
 SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # (measured: walk-all was 2.5% SLOWER than the chunked
                        # early-out even at k_cap=24 — the per-chunk consensus
@@ -1439,20 +1467,26 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                                   n_spheres_padded, fast_disc=fast_disc)
 
     def bounce_core(o, d, active, b_vec, provider, ray_color, radiance,
-                    first_depth, intersect_fn=None, slattr_h=0):
+                    first_depth, intersect_fn=None, slattr_h=0,
+                    hit_result=None):
         """One path segment for every lane: intersect, sky/emissive radiance,
         scatter. Returns the post-segment ray state plus hit/continue masks.
         ``b_vec`` may be a scalar (classic per-sample loop) or per-lane.
         ``intersect_fn`` may return a third value — the LOCAL shortlist slot
         — in which case attributes gather from the per-block shortlist attr
-        table (bit-identical rows, a ~16× narrower one-hot)."""
-        if "no_intersect" in _DEBUG_PHASEA:  # timing probe: every ray misses
+        table (bit-identical rows, a ~16× narrower one-hot). ``hit_result``
+        short-circuits the intersection entirely with a precomputed (t, idx)
+        — the flattened phase-B loop runs the walk OUTSIDE this function and
+        injects its result, reusing the post-intersect program verbatim."""
+        if hit_result is not None:
+            res = hit_result
+        elif "no_intersect" in _DEBUG_PHASEA:  # timing probe: all rays miss
             res = (jnp.full_like(o.x, INF), jnp.zeros_like(o.x, jnp.int32))
         else:
             res = (intersect_fn or intersect_full)(o, d, active)
         t, idx = res[0], res[1]
         s_loc = res[2] if len(res) == 3 else None
-        if _DEBUG_DOUBLE_WALK and intersect_fn is None:
+        if _DEBUG_DOUBLE_WALK and intersect_fn is None and hit_result is None:
             # Second full walk from a 1e-30-shifted origin: every slab/sphere
             # compare resolves identically (the shift is below f32 resolution
             # at scene scale), so masks and trip counts match the first
@@ -1779,12 +1813,45 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
             # Carry layout (conditional fields mirror the parked-state cuts):
             #   sid_f, b_lane, o, d, rc, [rad if has_emissive],
-            #   [fd if parked], crs, cgs, cbs, [dsums if parked], segsum.
+            #   [fd if parked], crs, cgs, cbs, [dsums if parked], segsum,
+            #   [*masks, bq, bi if PHASEB_FLAT] (the flattened walk's state).
             # ``parked`` ⟺ ST_FD in phys (DEPTH_IN_A=False legacy path).
             carry_fd = ST_FD in phys
+            flat_active = _use_flat_walk(n_spheres_padded, use_candidates,
+                                         n_tris_padded)
+            cwalk = (_CandidateWalk(sph_ref, grp_table, gaabb_ref,
+                                    n_spheres_padded, fast_disc=fast_disc)
+                     if flat_active else None)
+
+            def route_harvest(died, sid_f, rad, fd, crs, cgs, cbs, dsums):
+                """Accumulate a dying lane's radiance (and legacy parked
+                depth) into its slot's half — shared by the nested and
+                flattened bodies."""
+                if fuse == 1:
+                    cr0, cg0, cb0 = harvest_color(died, rad, crs[0],
+                                                  cgs[0], cbs[0])
+                    crs, cgs, cbs = (cr0,), (cg0,), (cb0,)
+                    if carry_fd:
+                        dsums = (harvest_depth(died, fd, dsums[0]),)
+                    return crs, cgs, cbs, dsums
+                # Route the dying lane's radiance to its slot's half.
+                g = linear_to_gamma(rad)
+                if carry_fd:
+                    depth_fin = jnp.where(fd >= INF, fallback_far, fd)
+                ncr, ncg, ncb, nds = [], [], [], []
+                for h in range(fuse):
+                    m = (died & (sid_f >= float(h * spp_s))
+                         & (sid_f < float((h + 1) * spp_s)))
+                    ncr.append(crs[h] + jnp.where(m, g.x, 0.0))
+                    ncg.append(cgs[h] + jnp.where(m, g.y, 0.0))
+                    ncb.append(cbs[h] + jnp.where(m, g.z, 0.0))
+                    if carry_fd:
+                        nds.append(dsums[h] + jnp.where(m, depth_fin, 0.0))
+                return (tuple(ncr), tuple(ncg), tuple(ncb),
+                        tuple(nds) if carry_fd else dsums)
 
             def pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
-                           crs, cgs, cbs, dsums, segsum):
+                           crs, cgs, cbs, dsums, segsum, walk=()):
                 t = (sid_f, b_lane, o, d, rc)
                 if has_emissive:
                     t += (rad,)
@@ -1793,7 +1860,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 t += (crs, cgs, cbs)
                 if carry_fd:
                     t += (dsums,)
-                return t + (segsum,)
+                return t + (segsum,) + tuple(walk)
 
             def unpack_carry(carry):
                 it = iter(carry)
@@ -1812,41 +1879,19 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 crs, cgs, cbs = (next(it) for _ in range(3))
                 dsums = next(it) if carry_fd else None
                 return (sid_f, b_lane, o, d, rc, rad, fd,
-                        crs, cgs, cbs, dsums, next(it))
+                        crs, cgs, cbs, dsums, next(it), tuple(it))
 
             def body_once(carry):
                 (sid_f, b_lane, o, d, rc, rad, fd,
-                 crs, cgs, cbs, dsums, segsum) = unpack_carry(carry)
+                 crs, cgs, cbs, dsums, segsum, walk_st) = unpack_carry(carry)
                 active = sid_f < n_slots_f
                 provider = make_provider_b(sid_f.astype(jnp.int32))
                 o, d, rc, rad, fd, cont = bounce_core(
                     o, d, active, b_lane, provider, rc, rad, fd)
                 cont = cont & (b_lane < config.bounces)
                 died = active & ~cont
-                if fuse == 1:
-                    cr0, cg0, cb0 = harvest_color(died, rad, crs[0],
-                                                  cgs[0], cbs[0])
-                    crs, cgs, cbs = (cr0,), (cg0,), (cb0,)
-                    if carry_fd:
-                        dsums = (harvest_depth(died, fd, dsums[0]),)
-                else:
-                    # Route the dying lane's radiance to its slot's half.
-                    g = linear_to_gamma(rad)
-                    if carry_fd:
-                        depth_fin = jnp.where(fd >= INF, fallback_far, fd)
-                    ncr, ncg, ncb, nds = [], [], [], []
-                    for h in range(fuse):
-                        m = (died & (sid_f >= float(h * spp_s))
-                             & (sid_f < float((h + 1) * spp_s)))
-                        ncr.append(crs[h] + jnp.where(m, g.x, 0.0))
-                        ncg.append(cgs[h] + jnp.where(m, g.y, 0.0))
-                        ncb.append(cbs[h] + jnp.where(m, g.z, 0.0))
-                        if carry_fd:
-                            nds.append(dsums[h]
-                                       + jnp.where(m, depth_fin, 0.0))
-                    crs, cgs, cbs = tuple(ncr), tuple(ncg), tuple(ncb)
-                    if carry_fd:
-                        dsums = tuple(nds)
+                crs, cgs, cbs, dsums = route_harvest(died, sid_f, rad, fd,
+                                                     crs, cgs, cbs, dsums)
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(active, 1.0, 0.0))
                 if _DEBUG_DOUBLE_HARVEST:
@@ -1893,27 +1938,104 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                         take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]),
                         rad)
                 return pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
-                                  crs, cgs, cbs, dsums, segsum)
+                                  crs, cgs, cbs, dsums, segsum, walk_st)
+
+            def body_once_flat(carry):
+                """One FLAT iteration: FLAT_WALK_STEPS candidate steps for
+                every lane, then the full segment-finish program (sky/hit
+                radiance, scatter, harvest, restart fetch, fresh mask) masked
+                to lanes whose walk just exhausted. Walking lanes pass
+                through the finish section untouched (their ``fin`` mask is
+                false everywhere it writes). Value-identical to the nested
+                scheduling: same per-lane visit order, same test arithmetic
+                (_CandidateWalk), and mid-walk re-masks only ever prune
+                groups that cannot change the winner."""
+                (sid_f, b_lane, o, d, rc, rad, fd,
+                 crs, cgs, cbs, dsums, segsum, walk_st) = unpack_carry(carry)
+                masks = walk_st[:cwalk.n_words]
+                bq = walk_st[cwalk.n_words]
+                bi = walk_st[cwalk.n_words + 1]
+                active = sid_f < n_slots_f
+                for _ in range(max(FLAT_WALK_STEPS, 1)):
+                    masks, bq, bi = cwalk.step(o, d, masks, bq, bi)
+                fin = active & cwalk.exhausted(masks)
+                inv_a = 1.0 / d.dot(d)
+                t_best = jnp.where(bq >= INF, INF, bq * inv_a)
+                provider = make_provider_b(sid_f.astype(jnp.int32))
+                o, d, rc, rad, fd, cont = bounce_core(
+                    o, d, fin, b_lane, provider, rc, rad, fd,
+                    hit_result=(t_best, bi))
+                cont = cont & (b_lane < config.bounces)
+                died = fin & ~cont
+                crs, cgs, cbs, dsums = route_harvest(died, sid_f, rad, fd,
+                                                     crs, cgs, cbs, dsums)
+                # A segment counts when it COMPLETES (same totals as the
+                # nested body's count-while-active); COUNT_ITERS counts flat
+                # iterations — the per-iteration probe semantics.
+                segsum = segsum + (1.0 if COUNT_ITERS
+                                   else jnp.where(fin, 1.0, 0.0))
+                nxt = fetch(sid_f.astype(jnp.int32) + 1)
+                take = died & (nxt[ST_SID] < n_slots_f)
+                o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
+                               o)
+                d = Vec3.where(take, Vec3(nxt[ST_DX], nxt[ST_DY], nxt[ST_DZ]),
+                               d)
+                rc = Vec3.where(take,
+                                Vec3(nxt[ST_RCX], nxt[ST_RCY], nxt[ST_RCZ]),
+                                rc)
+                if carry_fd:
+                    fd = jnp.where(take, nxt[ST_FD], fd)
+                sid_f = jnp.where(died, nxt[ST_SID], sid_f)
+                # Walking lanes keep their bounce counter; finished lanes
+                # either advance it (scattered) or restart at 1 (new sample).
+                b_lane = jnp.where(cont, b_lane + 1,
+                                   jnp.where(died, 1, b_lane))
+                if has_emissive:
+                    rad = Vec3.where(
+                        take, Vec3(nxt[ST_RADX], nxt[ST_RADY], nxt[ST_RADZ]),
+                        rad)
+                # Fresh masks for every lane starting a new segment — the
+                # scattered ray or the restarted sample's parked ray. Lanes
+                # that died with no next sample keep their exhausted masks
+                # (all-zero) and idle through the loop's tail.
+                need_new = cont | take
+                fresh = cwalk.build(o, d, jnp.full(n, INF, jnp.float32),
+                                    need_new)
+                masks = tuple(jnp.where(need_new, f, m)
+                              for f, m in zip(fresh, masks))
+                bq = jnp.where(need_new, jnp.float32(INF), bq)
+                bi = jnp.where(need_new, jnp.int32(-1), bi)
+                return pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
+                                  crs, cgs, cbs, dsums, segsum,
+                                  masks + (bq, bi))
+
+            one_iter = body_once_flat if flat_active else body_once
 
             def body(carry):
                 for _ in range(max(PHASEB_UNROLL, 1)):
-                    carry = body_once(carry)
+                    carry = one_iter(carry)
                 return carry
 
             st0 = {f: st_read(0, f) for f in stored}
+            o0 = Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ])
+            d0 = Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ])
+            walk0 = ()
+            if flat_active:
+                m0 = cwalk.build(o0, d0, jnp.full(n, INF, jnp.float32),
+                                 st0[ST_SID] < n_slots_f)
+                walk0 = m0 + (jnp.full(n, INF, jnp.float32),
+                              jnp.full(n, -1, jnp.int32))
             init = pack_carry(
-                st0[ST_SID], jnp.ones(n, jnp.int32),
-                Vec3(st0[ST_OX], st0[ST_OY], st0[ST_OZ]),
-                Vec3(st0[ST_DX], st0[ST_DY], st0[ST_DZ]),
+                st0[ST_SID], jnp.ones(n, jnp.int32), o0, d0,
                 Vec3(st0[ST_RCX], st0[ST_RCY], st0[ST_RCZ]),
                 (Vec3(st0[ST_RADX], st0[ST_RADY], st0[ST_RADZ])
                  if has_emissive else None),
                 st0[ST_FD] if carry_fd else None,
                 tuple(crs), tuple(cgs), tuple(cbs),
-                tuple(dsums) if carry_fd else None, segsum)
+                tuple(dsums) if carry_fd else None, segsum, walk0)
             out = jax.lax.while_loop(cond, body, init)
             (_, _, _, _, _, _, _,
-             ocrs, ocgs, ocbs, odsums, segsum) = unpack_carry(out)
+             ocrs, ocgs, ocbs, odsums, segsum, _) = unpack_carry(out)
             crs, cgs, cbs = list(ocrs), list(ocgs), list(ocbs)
             if carry_fd:
                 dsums = list(odsums)

@@ -1,0 +1,114 @@
+"""Round-5 TPU battery: FLATTENED phase-B walk (PHASEB_FLAT) vs the shipped
+nested scheduling — the dense-scene program-family change (VERDICT r4 item 2).
+
+Dense rationale: the nested walk's while loop is bounded by the tile's walk
+STRAGGLER (kd replay: 14.6 entered groups) while the MEAN is 3.10 — lanes
+idle ~4/5 of walk time. The flat loop runs FLAT_WALK_STEPS candidate steps
+per outer iteration and finished lanes immediately scatter/restart, so
+per-segment walk cost tracks the mean; the price is the segment-fixed
+machinery (fetch/gather/draws/scatter/harvest + a mask build) per ITERATION.
+Cheap at dense (15-slot fetch at 4 spp·fuse 4), expensive at the headline
+(63-slot fetch) — the headline arm is expected to LOSE and pins the gate.
+
+Paired same-session interleaved battery (exp_round4_dense pattern: unique
+sphere_chunk per arm so each gets its own jit entry; knobs set before every
+call because they bake at trace time only):
+
+    python scripts/exp_round5_flat.py          # real TPU, ~6 compiles
+    python scripts/exp_round5_flat.py dense    # dense arms only (4 compiles)
+
+Correctness anchor is tests/test_flat_walk.py (CPU interpret, bit-identical
+exact-RNG images + segment counts); on hardware the hw-PRNG draw sequences
+differ between programs by construction, so only throughput is compared.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
+
+
+def sync(f):
+    return np.asarray(f.image[0, 0])
+
+
+def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.kernels.pallas import megakernel as mk
+
+    arms = {}
+    chunk = base.sphere_chunk or 1080
+    for arm, (flat, steps) in plan:
+        chunk += 1
+        mk.PHASEB_FLAT = flat
+        mk.FLAT_WALK_STEPS = steps
+        r = PallasRenderer(dataclasses.replace(base, sphere_chunk=chunk))
+        t0 = time.perf_counter()
+        sync(r.render(scene, cam, seed=0))
+        arms[arm] = (r, flat, steps, [], [])
+        print(json.dumps({"warm": f"{name}/{arm}",
+                          "compile_s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+
+    seed = 1
+    for battery in range(n_batteries):
+        for arm, (r, flat, steps, times, rays) in arms.items():
+            mk.PHASEB_FLAT = flat
+            mk.FLAT_WALK_STEPS = steps
+            for _ in range(n_frames):
+                t0 = time.perf_counter()
+                f = r.render(scene, cam, seed=seed)
+                sync(f)
+                times.append(time.perf_counter() - t0)
+                rays.append(float(f.rays_traced))
+                seed += 1
+        print(json.dumps({"battery": battery}), flush=True)
+
+    rows = []
+    for arm, (r, flat, steps, times, rays) in arms.items():
+        p50 = float(np.percentile(times, 50))
+        rows.append({"scene": name, "arm": arm, "p50_ms": round(p50 * 1e3, 2),
+                     "mrays": round(np.mean(rays) / p50 / 1e6, 2),
+                     "n_frames": len(times)})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from exp_large_scene import make_world
+    from bevyray_tpu import RenderConfig, rtiow
+
+    out = {"probe": "exp_round5_flat", "rows": []}
+
+    if which in ("all", "dense"):
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3)
+        plan = [("ship", (False, 1)), ("flat1", (True, 1)),
+                ("flat2", (True, 2)), ("flat3", (True, 3))]
+        out["rows"] += run_battery("dense", base, scene, cam, plan)
+
+    if which in ("all", "headline"):
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3)
+        plan = [("ship", (False, 1)), ("flat1", (True, 1))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=2)
+
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
