@@ -232,15 +232,25 @@ PHASEB_UNROLL = 2
 # Per-segment walk cost drops from the tile MAX of entered groups to the
 # MEAN (dense kd replay: straggler 14.6 vs mean 3.10 — §7), in exchange for
 # paying the segment-fixed machinery (fetch/gather/draws/scatter/harvest +
-# a mask build) once per ITERATION instead of once per segment. The trade
-# only pays where straggler ≫ mean AND the fetch chain is short (few slots):
-# the dense 4-spp bench, not the 16-spp headline (63-slot fetch × mean-steps
-# would triple its biggest fixed term). Candidates-walk + no-triangles only;
-# value-identical to the nested scheduling (same per-lane visit order and
-# test arithmetic via _CandidateWalk; mid-walk re-masks are value-neutral by
-# construction). True | False | "auto" (dense gate at ≥2048 padded spheres).
+# a mask build) once per ITERATION instead of once per segment. Measured on
+# hardware (FLAT_AB_r05) the trade pays at BOTH scales: at FLAT_WALK_STEPS=4
+# the mean segment needs <1 iteration, so the fixed machinery runs LESS
+# often per segment than nested — dense +36%, headline +34% (575 Mrays/s,
+# above the nested family's 545 ceiling). Candidates-walk + no-triangles
+# only; value-identical to the nested scheduling (same per-lane visit order
+# and test arithmetic via _CandidateWalk; mid-walk re-masks are value-
+# neutral by construction). True | False | "auto" (on wherever legal).
 PHASEB_FLAT = "auto"
-FLAT_WALK_STEPS = 1   # candidate steps per outer iteration (retune knob)
+# Candidate steps per outer iteration. Real-TPU ladder (FLAT_AB_r05.json,
+# dense 5000-sphere 4 spp): nested 30.8 -> flat1 34.5 -> flat2 38.5 -> flat3
+# 40.7; second battery flat3 38.5 -> flat4 41.9 (optimum) -> flat6 38.7
+# (overshoot waste past the 3.10-step mean walk). steps=4 ships.
+FLAT_WALK_STEPS = 4
+FLAT_REMASK = False   # per-iteration best-q re-mask of WALKING lanes, fused
+                      # into the fresh-mask build (see body_once_flat).
+                      # Measured ~tied with steps-only at the dense optimum
+                      # (flat2r 41.74 / flat3r 41.35 vs flat4 41.85,
+                      # FLAT_AB_r05) - kept as an A/B knob, not shipped.
 
 
 def _use_flat_walk(n_spheres_padded: int, use_candidates: bool,
@@ -248,7 +258,14 @@ def _use_flat_walk(n_spheres_padded: int, use_candidates: bool,
     if not use_candidates or n_tris_padded:
         return False
     if PHASEB_FLAT == "auto":
-        return n_spheres_padded >= 2048
+        # Round-5 hardware batteries: flat wins EVERYWHERE the candidates
+        # walk runs. Dense 5000-sphere: nested 30.8 -> flat4 41.9 Mrays/s
+        # (+36%). Headline 508-sphere: nested 430.2 -> flat4 575.1 (+34%,
+        # above the round-4 nested-family ceiling of 545 — the "63-slot
+        # fetch makes flat lose at 16 spp" prediction was WRONG: iterations
+        # per segment drop below 1 at steps=4, so the per-iteration fixed
+        # machinery amortizes BETTER than nested, not worse). FLAT_AB_r05.
+        return True
     return bool(PHASEB_FLAT)
 SL_WALK_ALL_MAX = 0    # shortlists up to this size skip the chunked early-out
                        # (measured: walk-all was 2.5% SLOWER than the chunked
@@ -935,7 +952,11 @@ class _CandidateWalk:
                                             jnp.maximum(ty1, ty2)),
                                 jnp.maximum(tz1, tz2))
             near_q = a * t_near
-            ahead = (near_q <= best_q) if keep_ties else (near_q < best_q)
+            if isinstance(keep_ties, bool):
+                ahead = ((near_q <= best_q) if keep_ties
+                         else (near_q < best_q))
+            else:   # per-lane: strict for fresh-mask lanes, ties for re-mask
+                ahead = (near_q < best_q) | (keep_ties & (near_q == best_q))
             useful = (t_far >= t_near) & (t_far > 0.0) & ahead
             bit = jnp.where(useful, jnp.int32(1 << (g % 31)), 0)
             masks[g // 31] = masks[g // 31] | bit
@@ -1287,6 +1308,16 @@ _DEBUG_DOUBLE_RAYGEN = False    # second primary-ray build per phase-A sample
                                 # included via a lane-varying synthetic
                                 # jitter; no extra RNG draws — the hw PRNG is
                                 # stateful, so re-drawing would shift streams)
+# Round-5 phase-A attribution probes (VERDICT r4 item 4: the 45 ms "floor"
+# was an all-ablated aggregate; these price its named terms DIRECTLY):
+_DEBUG_DOUBLE_SLWALK = False    # second primary-shortlist walk per phase-A
+                                # sample (origin +1e-30: every slab/sphere
+                                # compare and early-out trip count matches)
+_DEBUG_DOUBLE_SLGATHER = False  # second shortlist-local attribute gather
+                                # (s_loc−1 one-hot defeats CSE, same op count)
+_DEBUG_DOUBLE_HITMATH = False   # second post-intersect geometry chain
+                                # (position, normal normalize, front-face dot,
+                                # sky gradient, emissive add), inputs +1e-30
 
 
 def _gather_attrs(best_i, attr_table, n_spheres_padded: int):
@@ -1486,6 +1517,17 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             res = (intersect_fn or intersect_full)(o, d, active)
         t, idx = res[0], res[1]
         s_loc = res[2] if len(res) == 3 else None
+        if (_DEBUG_DOUBLE_SLWALK and intersect_fn is not None
+                and hit_result is None):
+            # Second primary-shortlist walk from a 1e-30-shifted origin (below
+            # f32 resolution at scene scale: identical compares, early-out
+            # trips, and overflow-cond arm). Masks INF out of the fold.
+            eps3 = Vec3.full((), 1e-30, 1e-30, 1e-30)
+            res2 = intersect_fn(o + eps3, d, active)
+            t2w, i2w = res2[0], res2[1]
+            radiance = radiance + Vec3(jnp.where(t2w >= INF, 0.0, t2w),
+                                       i2w.astype(jnp.float32),
+                                       jnp.zeros_like(t2w)).scale(1e-30)
         if _DEBUG_DOUBLE_WALK and intersect_fn is None and hit_result is None:
             # Second full walk from a 1e-30-shifted origin: every slab/sphere
             # compare resolves identically (the shift is below f32 resolution
@@ -1513,6 +1555,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
             # one-hot build runs over k_pad (≈32) columns instead of S+T.
             center, mats = _gather_attrs(s_loc, slattr_ref[slattr_h],
                                          slattr_ref.shape[-1])
+            if _DEBUG_DOUBLE_SLGATHER:
+                c2, m2 = _gather_attrs(jnp.maximum(s_loc - 1, 0),
+                                       slattr_ref[slattr_h],
+                                       slattr_ref.shape[-1])
+                radiance = radiance + Vec3(c2.x + m2[0], c2.y + m2[1],
+                                           c2.z + m2[2]).scale(1e-30)
         else:
             center, mats = _gather_attrs(idx, attr_table,
                                          n_spheres_padded + n_tris_padded)
@@ -1544,6 +1592,31 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
         )
         radiance = Vec3.where(active_hit,
                               radiance + ray_color * mat.emissive, radiance)
+        if _DEBUG_DOUBLE_HITMATH and not n_tris_padded:
+            # Duplicate the post-intersect geometry/bookkeeping chain with
+            # every float input +1e-30 (add, not scale — XLA folds ×1.0 but
+            # never add-of-nonzero): position fma, normal normalize, miss
+            # select, front-face dot, sky gradient + its radiance merge,
+            # emissive merge, first-depth select. Compares may flip on
+            # razor-edge lanes; no loop trips depend on them.
+            ep = jnp.float32(1e-30)
+            ep3 = Vec3.full((), 1e-30, 1e-30, 1e-30)
+            st2 = jnp.where(miss, ep, t + ep)
+            pos2 = (o + ep3) + d.scale(st2)
+            sn2 = (pos2 - (center + ep3)).normalize()
+            nrm2 = Vec3.where(miss, Vec3.full((), 0.0, 1.0, 0.0), sn2)
+            ff2 = (d + ep3).dot(nrm2) < 0.0
+            bg2 = background_gradient(d + ep3)
+            sky2 = Vec3.where(active & miss,
+                              (ray_color + ep3) + (ray_color + ep3) * bg2,
+                              ray_color + ep3)
+            em2 = Vec3.where(active_hit,
+                             (ray_color + ep3) * (mat.emissive + ep3),
+                             ray_color)
+            fd2 = jnp.where((b_vec == 0) & active, t + ep, first_depth + ep)
+            radiance = radiance + Vec3(
+                sky2.x + nrm2.x + jnp.where(ff2, ep, 0.0),
+                em2.y + pos2.y, fd2 + sky2.z).scale(1e-30)
 
         if "no_scatter" in _DEBUG_PHASEA:  # timing probe: rays pass through
             o = Vec3.where(active_hit, hit.position, o)
@@ -1999,12 +2072,28 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 # that died with no next sample keep their exhausted masks
                 # (all-zero) and idle through the loop's tail.
                 need_new = cont | take
-                fresh = cwalk.build(o, d, jnp.full(n, INF, jnp.float32),
-                                    need_new)
-                masks = tuple(jnp.where(need_new, f, m)
-                              for f, m in zip(fresh, masks))
                 bq = jnp.where(need_new, jnp.float32(INF), bq)
                 bi = jnp.where(need_new, jnp.int32(-1), bi)
+                if FLAT_REMASK:
+                    # Per-iteration re-mask: the SAME build call serves fresh
+                    # lanes (strict <, bq = INF) and WALKING lanes (ties kept,
+                    # masks ANDed — prunes groups the tightened best-q proves
+                    # can't win). The nested walk's per-step re-mask wall
+                    # (round 2: −13%) does not apply here: there is no
+                    # straggler lockstep — pruning shortens every lane's own
+                    # remaining walk, and the build is already paid for the
+                    # fresh lanes each iteration. Value-identical by the
+                    # keep-ties argument (build docstring).
+                    walking = active & ~fin
+                    fresh = cwalk.build(o, d, bq, need_new | walking,
+                                        keep_ties=~need_new)
+                    masks = tuple(jnp.where(need_new, f, m & f)
+                                  for f, m in zip(fresh, masks))
+                else:
+                    fresh = cwalk.build(o, d, jnp.full(n, INF, jnp.float32),
+                                        need_new)
+                    masks = tuple(jnp.where(need_new, f, m)
+                                  for f, m in zip(fresh, masks))
                 return pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
                                   crs, cgs, cbs, dsums, segsum,
                                   masks + (bq, bi))

@@ -43,23 +43,29 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
 
     arms = {}
     chunk = base.sphere_chunk or 1080
-    for arm, (flat, steps) in plan:
+    fuse0 = mk.PHASE_FUSE
+    for arm, spec in plan:
+        flat, steps = spec[0], spec[1]
+        remask = spec[2] if len(spec) > 2 else False
+        fuse = spec[3] if len(spec) > 3 else fuse0
         chunk += 1
         mk.PHASEB_FLAT = flat
         mk.FLAT_WALK_STEPS = steps
+        mk.FLAT_REMASK = remask
+        mk.PHASE_FUSE = fuse
         r = PallasRenderer(dataclasses.replace(base, sphere_chunk=chunk))
         t0 = time.perf_counter()
         sync(r.render(scene, cam, seed=0))
-        arms[arm] = (r, flat, steps, [], [])
+        arms[arm] = (r, (flat, steps, remask, fuse), [], [])
         print(json.dumps({"warm": f"{name}/{arm}",
                           "compile_s": round(time.perf_counter() - t0, 1)}),
               flush=True)
 
     seed = 1
     for battery in range(n_batteries):
-        for arm, (r, flat, steps, times, rays) in arms.items():
-            mk.PHASEB_FLAT = flat
-            mk.FLAT_WALK_STEPS = steps
+        for arm, (r, knobs, times, rays) in arms.items():
+            (mk.PHASEB_FLAT, mk.FLAT_WALK_STEPS,
+             mk.FLAT_REMASK, mk.PHASE_FUSE) = knobs
             for _ in range(n_frames):
                 t0 = time.perf_counter()
                 f = r.render(scene, cam, seed=seed)
@@ -68,9 +74,10 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
                 rays.append(float(f.rays_traced))
                 seed += 1
         print(json.dumps({"battery": battery}), flush=True)
+    mk.PHASE_FUSE = fuse0
 
     rows = []
-    for arm, (r, flat, steps, times, rays) in arms.items():
+    for arm, (r, knobs, times, rays) in arms.items():
         p50 = float(np.percentile(times, 50))
         rows.append({"scene": name, "arm": arm, "p50_ms": round(p50 * 1e3, 2),
                      "mrays": round(np.mean(rays) / p50 / 1e6, 2),
@@ -96,15 +103,45 @@ def main():
                 ("flat2", (True, 2)), ("flat3", (True, 3))]
         out["rows"] += run_battery("dense", base, scene, cam, plan)
 
+    if which == "ladder2":
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3, sphere_chunk=1120)
+        plan = [("flat3", (True, 3)), ("flat4", (True, 4)),
+                ("flat6", (True, 6)), ("flat2r", (True, 2, True)),
+                ("flat3r", (True, 3, True))]
+        out["rows"] += run_battery("dense", base, scene, cam, plan)
+
     if which in ("all", "headline"):
+        # The gate docstring PREDICTS flat loses here (63-slot fetch per
+        # iteration); the dense ladder says steps 2-4 is where flat wins if
+        # it can. ship + the two best dense arms settles the gate with data.
         world = rtiow.final_scene(seed=42)
         scene = world.extract(with_bvh=False)
         cam = world.camera_state(aspect=16 / 9)
         base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
                             bounces=4, level=3)
-        plan = [("ship", (False, 1)), ("flat1", (True, 1))]
+        plan = [("ship", (False, 1)), ("flat2", (True, 2)),
+                ("flat4", (True, 4))]
         out["rows"] += run_battery("headline", base, scene, cam, plan,
                                    n_frames=2)
+
+    if which == "densefuse":
+        # VERDICT r4 item 5 (dense low-spp occupancy), re-posed under the
+        # flat walk: the plane budget admits fuse 8 at 4 spp (88 planes/
+        # instance) — does doubling the pooled blocks still buy anything now
+        # that finished lanes restart without waiting for the straggler?
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3, sphere_chunk=1140)
+        plan = [("flat4_fuse4", (True, 4, False, 4)),
+                ("flat4_fuse8", (True, 4, False, 8)),
+                ("flat4_fuse2", (True, 4, False, 2))]
+        out["rows"] += run_battery("dense", base, scene, cam, plan)
 
     print(json.dumps(out), flush=True)
     return 0

@@ -23,7 +23,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 from bevyray_tpu.kernels.pallas import megakernel as _mk
 
 CHEAP_KNOBS = {"REMASK_SCHEDULE": (), "PHASEB_UNROLL": 1,
-               "PHASEA_UNROLL": False, "PHASE_FUSE": 1}
+               "PHASEA_UNROLL": False, "PHASE_FUSE": 1,
+               "FLAT_WALK_STEPS": 1}
 SHIPPED_KNOBS = {k: getattr(_mk, k) for k in CHEAP_KNOBS}
 for _k, _v in CHEAP_KNOBS.items():
     setattr(_mk, _k, _v)

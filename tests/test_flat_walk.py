@@ -26,7 +26,8 @@ from bevyray_tpu.kernels.pallas.primary import shortlists_for
 
 
 def _flat_vs_nested(monkeypatch, cfg_kwargs, cand_size, seed=11,
-                    nested_remask=(), flat_steps=1, grid=8):
+                    nested_remask=(), flat_steps=1, grid=8,
+                    flat_remask=False):
     """Render the same frame with PHASEB_FLAT True/False via direct
     render_tiles jits (module knobs bake into traces; fresh jit per arm)."""
     world = rtiow.final_scene(seed=42, grid=grid)
@@ -43,6 +44,7 @@ def _flat_vs_nested(monkeypatch, cfg_kwargs, cand_size, seed=11,
     for flat in (False, True):
         monkeypatch.setattr(megakernel, "PHASEB_FLAT", flat)
         monkeypatch.setattr(megakernel, "FLAT_WALK_STEPS", flat_steps)
+        monkeypatch.setattr(megakernel, "FLAT_REMASK", flat and flat_remask)
         monkeypatch.setattr(megakernel, "REMASK_SCHEDULE",
                             () if flat else nested_remask)
         f = jax.jit(functools.partial(render_tiles, config=cfg,
@@ -73,6 +75,16 @@ def test_flat_walk_matches_nested_with_remask(monkeypatch):
     np.testing.assert_array_equal(img_n, img_f)
 
 
+def test_flat_walk_remask_bit_identical(monkeypatch):
+    # FLAT_REMASK prunes walking lanes' masks by their tightened best-q every
+    # iteration (ties kept) — it may only ever remove guaranteed losers.
+    cfg = dict(width=96, height=64, samples_per_pixel=4, bounces=4, level=3)
+    (img_n, segs_n), (img_f, segs_f) = _flat_vs_nested(
+        monkeypatch, cfg, cand_size=8, flat_steps=2, flat_remask=True)
+    assert segs_n == segs_f
+    np.testing.assert_array_equal(img_n, img_f)
+
+
 def test_flat_walk_multi_step(monkeypatch):
     # FLAT_WALK_STEPS > 1 (several candidate steps per outer iteration) only
     # changes scheduling, never values.
@@ -83,11 +95,34 @@ def test_flat_walk_multi_step(monkeypatch):
     np.testing.assert_array_equal(img_n, img_f)
 
 
+def test_flat_walk_sharded_matches_single_device(monkeypatch):
+    # The flat loop inside shard_map (sp pixel rows, dp samples) must
+    # reproduce the single-device flat render exactly (exact-RNG interpret).
+    from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.parallel.sharding import (make_mesh,
+                                               render_frame_sharded_pallas)
+
+    monkeypatch.setattr(megakernel, "PHASEB_FLAT", True)
+    world = rtiow.final_scene(seed=42, grid=6)
+    scene = world.extract(with_bvh=False)
+    cam = world.camera_state(aspect=1.0)
+    cfg = RenderConfig(width=128, height=128, samples_per_pixel=2, bounces=3,
+                       level=3, pallas_intersect="candidates",
+                       pallas_cand_size=8)
+    want = PallasRenderer(cfg).render(scene, cam, seed=5)
+    got = render_frame_sharded_pallas(make_mesh(2, 2, 1), scene, cam, cfg,
+                                      frame_seed=5)
+    np.testing.assert_allclose(np.asarray(got.image), np.asarray(want.image),
+                               atol=1e-6)
+    assert float(got.rays_traced) == float(want.rays_traced)
+
+
 def test_flat_gate():
     f = megakernel._use_flat_walk
-    # auto: candidates + no triangles + dense scene only
+    # auto: on wherever the candidates walk runs — flat won at BOTH scales on
+    # hardware (FLAT_AB_r05: dense +36%, headline +34%).
     assert megakernel.PHASEB_FLAT == "auto"
     assert f(2048, True, 0)
-    assert not f(512, True, 0)      # headline scale stays nested
+    assert f(512, True, 0)          # headline scale flattens too (round 5)
     assert not f(4096, False, 0)    # grouped walk can't flatten
     assert not f(4096, True, 12)    # scalar triangle loop per iter would lose
