@@ -68,10 +68,10 @@ def main():
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 1000.0, 4),
-        # In-family structural ceiling from docs/SPEED_OF_LIGHT.md §4: the
-        # straggler floor of this kernel shape is ≈500 Mrays/s (mean-entered
-        # groups at zero straggler overhead). vs_baseline reads "% of north
-        # star"; this reads "% of what this kernel family can reach".
+        # Reference point: the NESTED kernel family's structural ceiling was
+        # ≈500-545 Mrays/s (docs/SPEED_OF_LIGHT.md §4/§11 — straggler-bound
+        # walk). Round 5's FLAT walk left that family and exceeded it
+        # (>1.0 here is the point); kept as the historical yardstick.
         "vs_family_ceiling_500": round(mrays / 500.0, 4),
         "p50_frame_ms": round(p50 * 1e3, 2),
         # Window-drift diagnostics: best-quartile throughput (what a good

@@ -43,20 +43,24 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
 
     arms = {}
     chunk = base.sphere_chunk or 1080
-    fuse0 = mk.PHASE_FUSE
+    fuse0, j0 = mk.PHASE_FUSE, mk.PHASEB_UNROLL
     for arm, spec in plan:
         flat, steps = spec[0], spec[1]
         remask = spec[2] if len(spec) > 2 else False
         fuse = spec[3] if len(spec) > 3 else fuse0
+        j = spec[4] if len(spec) > 4 else j0
+        cand = spec[5] if len(spec) > 5 else base.pallas_cand_size
         chunk += 1
         mk.PHASEB_FLAT = flat
         mk.FLAT_WALK_STEPS = steps
         mk.FLAT_REMASK = remask
         mk.PHASE_FUSE = fuse
-        r = PallasRenderer(dataclasses.replace(base, sphere_chunk=chunk))
+        mk.PHASEB_UNROLL = j
+        r = PallasRenderer(dataclasses.replace(base, sphere_chunk=chunk,
+                                               pallas_cand_size=cand))
         t0 = time.perf_counter()
         sync(r.render(scene, cam, seed=0))
-        arms[arm] = (r, (flat, steps, remask, fuse), [], [])
+        arms[arm] = (r, (flat, steps, remask, fuse, j), [], [])
         print(json.dumps({"warm": f"{name}/{arm}",
                           "compile_s": round(time.perf_counter() - t0, 1)}),
               flush=True)
@@ -65,7 +69,7 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
     for battery in range(n_batteries):
         for arm, (r, knobs, times, rays) in arms.items():
             (mk.PHASEB_FLAT, mk.FLAT_WALK_STEPS,
-             mk.FLAT_REMASK, mk.PHASE_FUSE) = knobs
+             mk.FLAT_REMASK, mk.PHASE_FUSE, mk.PHASEB_UNROLL) = knobs
             for _ in range(n_frames):
                 t0 = time.perf_counter()
                 f = r.render(scene, cam, seed=seed)
@@ -74,7 +78,7 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
                 rays.append(float(f.rays_traced))
                 seed += 1
         print(json.dumps({"battery": battery}), flush=True)
-    mk.PHASE_FUSE = fuse0
+    mk.PHASE_FUSE, mk.PHASEB_UNROLL = fuse0, j0
 
     rows = []
     for arm, (r, knobs, times, rays) in arms.items():
@@ -90,6 +94,13 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from exp_large_scene import make_world
     from bevyray_tpu import RenderConfig, rtiow
+    from bevyray_tpu.kernels.pallas import megakernel as _mk
+
+    def mk_f():
+        return _mk.PHASE_FUSE
+
+    def mk_j():
+        return _mk.PHASEB_UNROLL
 
     out = {"probe": "exp_round5_flat", "rows": []}
 
@@ -125,6 +136,62 @@ def main():
                             bounces=4, level=3)
         plan = [("ship", (False, 1)), ("flat2", (True, 2)),
                 ("flat4", (True, 4))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=2)
+
+    if which == "retune":
+        # The shipped J=2 (PHASEB_UNROLL) was tuned under the NESTED body
+        # (round-4 session-6); the flat body is a different program — J now
+        # multiplies whole flat iterations (J x steps candidate steps between
+        # while-cond evaluations). Re-ladder J and the steps neighborhood at
+        # the headline under flat defaults.
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3, sphere_chunk=1160)
+        from bevyray_tpu.kernels.pallas import megakernel as mk
+        fuse0 = mk.PHASE_FUSE
+        plan = [("f4_j2", (True, 4)),
+                ("f4_j1", (True, 4, False, fuse0, 1)),
+                ("f4_j3", (True, 4, False, fuse0, 3)),
+                ("f3_j2", (True, 3)), ("f5_j2", (True, 5)),
+                ("f4r_j2", (True, 4, True))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=2)
+
+    if which == "groups":
+        # Group-size ladder RE-POSED under the flat walk. Round-4 hardware
+        # rejected finer groups (gc48 −3%, gc32 −7% dense; gc8 −16..21%
+        # headline) because the NESTED walk pays per-step fixed machinery
+        # along the tile STRAGGLER lane, which finer groups lengthen in
+        # steps. The flat walk's per-segment cost tracks the MEAN entered
+        # count instead — finer groups now convert their culling-quality win
+        # (replay: gc48/32 cut straggler bytes 27-42%) directly, IF the
+        # extra mask words (4/6 vs 2) don't eat it in the per-iteration
+        # build/select chains.
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3, sphere_chunk=1180)
+        plan = [("gc96", (True, 4)),
+                ("gc48", (True, 4, False, None, None, 48)),
+                ("gc32", (True, 4, False, None, None, 32))]
+        plan = [(a, s if len(s) < 6 else
+                 (s[0], s[1], s[2], mk_f(), mk_j(), s[5])) for a, s in plan]
+        out["rows"] += run_battery("dense", base, scene, cam, plan)
+
+    if which == "groupshead":
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3, sphere_chunk=1190)
+        plan = [("gc16", (True, 4)),
+                ("gc8", (True, 4, False, None, None, 8))]
+        plan = [(a, s if len(s) < 6 else
+                 (s[0], s[1], s[2], mk_f(), mk_j(), s[5])) for a, s in plan]
         out["rows"] += run_battery("headline", base, scene, cam, plan,
                                    n_frames=2)
 
