@@ -183,8 +183,12 @@ MAX_FUSE_PLANES = 704  # fuse·spp·len(_st_layout) cap — scratch is planes ×
 # dense fuse=2 +6.6% / fuse=4 +15.3% (31.6 vs 27.4) — ships "auto", which
 # stays at the MEASURED points: no fusion under 128 padded spheres (config-1
 # smoke: fuse=8 on the 2-sphere 256²/4spp scene ran 38.2 ms vs 30.8 unfused
-# — tiny per-iteration cost makes the slot-scaled fetch chain a net loss)
-# and a cap of 4 (8 unmeasured as a win anywhere).
+# — tiny per-iteration cost makes the slot-scaled fetch chain a net loss).
+# Round-5 (DENSEFUSE in FLAT_AB_r05 family, under the FLAT walk): fuse 8
+# WINS the dense low-spp point — 40.95 vs 39.67 Mrays/s (+3.2%, paired;
+# fuse 2 36.44) at 5,000 spheres / 4 spp, including its 6.7% grid padding.
+# "auto" opens 8 only at that measured regime (spp ≤ 4 AND ≥2048 padded
+# spheres); 16-spp configs stay plane-budget-capped at 4 regardless.
 PHASE_FUSE = "auto"
 
 
@@ -195,15 +199,22 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
     want = PHASE_FUSE
     auto = want == "auto"
     if auto:
-        want = 4 if n_spheres_padded >= 128 else 1
+        if n_spheres_padded < 128:
+            want = 1
+        elif spp <= 4 and n_spheres_padded >= 2048:
+            want = 8      # the round-5 measured dense point
+        else:
+            want = 4
     want = int(want)
     f = 1
     while f < want and f < 8 and (f * 2) * spp * n_st <= MAX_FUSE_PLANES:
         # Indivisible tile counts PAD the grid (render_tiles crops the tail):
         # a padded block costs one tile's phase A (all lanes masked, phase B
-        # exits immediately), so "auto" caps the waste at ~6% of real blocks;
-        # an explicit PHASE_FUSE accepts whatever padding it implies.
-        if auto and ((-n_tiles) % (f * 2)) * 16 > n_tiles:
+        # exits immediately), so "auto" caps the waste at ~8% of real blocks
+        # (12× — the round-5 dense fuse-8 win carried 6.7% padding, so the
+        # old 16× guard was too strict); an explicit PHASE_FUSE accepts
+        # whatever padding it implies.
+        if auto and ((-n_tiles) % (f * 2)) * 12 > n_tiles:
             break
         f *= 2
     return f
@@ -221,7 +232,19 @@ def _resolve_fuse(n_tiles: int, spp: int, phase_split: bool,
 # the saved carry round-trips one step earlier; a drift-matched fresh-process
 # pair agreed (J=2 390.7 vs J=3 345.0 Mrays/s). REMASK (8,) lost both confirm
 # arms — (5,) stays.
-PHASEB_UNROLL = 2
+# Round-5 retune under the FLAT walk (RETUNE_r05.json): at the headline the
+# flat body is much shorter than nested (4 candidate steps + masked finish),
+# so deeper unrolls pay again — J=4 beat J=2 in TWO independent paired
+# batteries (+2.0%, +1.8%); J=1 −5.7%. Dense J2≈J3 (tie) — the dense body
+# finishes ~1 segment/iteration already and more copies just grow the
+# program. "auto" = 4 under the flat headline scale, 2 everywhere else.
+PHASEB_UNROLL = "auto"
+
+
+def _phaseb_unroll(flat_active: bool, n_spheres_padded: int) -> int:
+    if PHASEB_UNROLL == "auto":
+        return 4 if (flat_active and n_spheres_padded < 2048) else 2
+    return max(int(PHASEB_UNROLL), 1)
 # FLATTENED phase-B walk (round 5 — the "new program family" for dense
 # scenes, VERDICT r4 item 2): instead of nesting the candidate walk's own
 # while loop inside each persistent-loop iteration — where every lane waits
@@ -2099,9 +2122,10 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                                   masks + (bq, bi))
 
             one_iter = body_once_flat if flat_active else body_once
+            unroll_j = _phaseb_unroll(flat_active, n_spheres_padded)
 
             def body(carry):
-                for _ in range(max(PHASEB_UNROLL, 1)):
+                for _ in range(unroll_j):
                     carry = one_iter(carry)
                 return carry
 
@@ -2185,7 +2209,7 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
 
         def body(carry):
             # Idempotent on finished lanes — see PHASEB_UNROLL.
-            for _ in range(max(PHASEB_UNROLL, 1)):
+            for _ in range(_phaseb_unroll(False, n_spheres_padded)):
                 carry = body_once(carry)
             return carry
 

@@ -37,25 +37,35 @@ def sync(f):
     return np.asarray(f.image[0, 0])
 
 
-def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
+def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3,
+                share_chunk=False):
+    """``share_chunk``: all arms reuse ONE sphere_chunk (and thus one
+    compiled program) — only valid when the arms differ purely in DATA
+    (e.g. the kd permutation argument), not in any trace-baked knob."""
     from bevyray_tpu.engine.pallas_renderer import PallasRenderer
+    from bevyray_tpu.kernels.pallas import grouping
     from bevyray_tpu.kernels.pallas import megakernel as mk
 
     arms = {}
     chunk = base.sphere_chunk or 1080
-    fuse0, j0 = mk.PHASE_FUSE, mk.PHASEB_UNROLL
+    fuse0, j0, rule0 = mk.PHASE_FUSE, mk.PHASEB_UNROLL, grouping.KD_RULE
     for arm, spec in plan:
         flat, steps = spec[0], spec[1]
         remask = spec[2] if len(spec) > 2 else False
         fuse = spec[3] if len(spec) > 3 else fuse0
         j = spec[4] if len(spec) > 4 else j0
         cand = spec[5] if len(spec) > 5 else base.pallas_cand_size
-        chunk += 1
+        rule = spec[6] if len(spec) > 6 else rule0
+        if not share_chunk:
+            chunk += 1
         mk.PHASEB_FLAT = flat
         mk.FLAT_WALK_STEPS = steps
         mk.FLAT_REMASK = remask
         mk.PHASE_FUSE = fuse
         mk.PHASEB_UNROLL = j
+        grouping.KD_RULE = rule     # read at prepare time (the warm render);
+        # timed frames hit the per-renderer pscene cache, so each arm keeps
+        # its own ordering without further sets.
         r = PallasRenderer(dataclasses.replace(base, sphere_chunk=chunk,
                                                pallas_cand_size=cand))
         t0 = time.perf_counter()
@@ -79,6 +89,7 @@ def run_battery(name, base, scene, cam, plan, n_batteries=3, n_frames=3):
                 seed += 1
         print(json.dumps({"battery": battery}), flush=True)
     mk.PHASE_FUSE, mk.PHASEB_UNROLL = fuse0, j0
+    grouping.KD_RULE = rule0
 
     rows = []
     for arm, (r, knobs, times, rays) in arms.items():
@@ -159,6 +170,67 @@ def main():
                 ("f4r_j2", (True, 4, True))]
         out["rows"] += run_battery("headline", base, scene, cam, plan,
                                    n_frames=2)
+
+    if which == "jconfirm":
+        # Confirm the retune battery's J=3 edge (+1.6% over shipped J=2)
+        # with a dedicated paired battery incl. J=4, plus the dense scene
+        # (J was scene-dependent under nested; re-check under flat).
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3, sphere_chunk=1220)
+        fuse0 = mk_f()
+        plan = [("j2", (True, 4)), ("j3", (True, 4, False, fuse0, 3)),
+                ("j4", (True, 4, False, fuse0, 4))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=2)
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3, sphere_chunk=1240)
+        plan = [("j2", (True, 4)), ("j3", (True, 4, False, fuse0, 3))]
+        out["rows"] += run_battery("dense", base, scene, cam, plan)
+
+    if which == "j4confirm":
+        # jconfirm battery: j2 574.7 / j3 574.2 (tie) / j4 586.1 (+2.0%).
+        # One focused j2-vs-j4 pair decides the headline unroll.
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3, sphere_chunk=1260)
+        plan = [("j2", (True, 4)), ("j4", (True, 4, False, mk_f(), 4))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=3)
+
+    if which == "sahflat":
+        # KD_RULE="sah" RE-POSED under the flat walk. Round-4 hardware
+        # rejected it (−14% headline under NESTED) despite replay showing
+        # mean entered 2.53→2.11 (−17%): the nested walk bills the tile
+        # STRAGGLER, and sah's count-weighted cuts trade straggler for mean.
+        # The flat walk bills the MEAN — exactly what sah improves. Orders
+        # are permutation ARGUMENTS (no recompile; arms share kernels).
+        fuse0 = mk_f()
+        world = rtiow.final_scene(seed=42)
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=16 / 9)
+        base = RenderConfig(width=1920, height=1080, samples_per_pixel=16,
+                            bounces=4, level=3, sphere_chunk=1280)
+        plan = [("median", (True, 4)),
+                ("sah", (True, 4, False, fuse0, mk_j(), 0, "sah"))]
+        out["rows"] += run_battery("headline", base, scene, cam, plan,
+                                   n_frames=3, share_chunk=True)
+        world = make_world()
+        scene = world.extract(with_bvh=False)
+        cam = world.camera_state(aspect=640 / 384)
+        base = RenderConfig(width=640, height=384, samples_per_pixel=4,
+                            bounces=4, level=3, sphere_chunk=1290)
+        plan = [("median", (True, 4)),
+                ("sah", (True, 4, False, fuse0, mk_j(), 0, "sah"))]
+        out["rows"] += run_battery("dense", base, scene, cam, plan,
+                                   share_chunk=True)
 
     if which == "groups":
         # Group-size ladder RE-POSED under the flat walk. Round-4 hardware

@@ -42,9 +42,14 @@ def test_resolve_fuse():
         assert mk._resolve_fuse(510, 16, True, 512, 11) == 4   # pre-DEPTH_IN_A
         assert mk._resolve_fuse(510, 16, True, 512, 14) == 2   # emissive (old)
         assert mk._resolve_fuse(510, 16, True, 512, 13) == 2   # emissive ship
-        assert mk._resolve_fuse(60, 4, True) == 4     # dense bench shape
-        assert mk._resolve_fuse(64, 4, True) == 4     # auto caps at 4
-        assert mk._resolve_fuse(510, 4, True) == 4    # pads 510 -> 512
+        # Round-5 DENSEFUSE point: auto opens fuse 8 at spp<=4 on dense
+        # scenes (default n_spheres_padded here is huge), incl. the 6.7%-pad
+        # dense bench grid (60 -> 64).
+        assert mk._resolve_fuse(60, 4, True) == 8     # dense bench shape
+        assert mk._resolve_fuse(64, 4, True) == 8
+        assert mk._resolve_fuse(510, 4, True) == 8    # pads 510 -> 512
+        assert mk._resolve_fuse(60, 4, True, 1024) == 4   # not dense -> 4
+        assert mk._resolve_fuse(240, 4, True, 512, 10) == 4  # 720p headline
         assert mk._resolve_fuse(17, 2, True) == 2     # pads 17 -> 18
         assert mk._resolve_fuse(7, 4, True) == 1      # padding waste > 6%
         assert mk._resolve_fuse(64, 4, False) == 1    # split-only
@@ -196,6 +201,27 @@ def test_fuse_grid_padding_bit_identical():
                        level=3)
     base, segs0 = _render(cfg, scene, cam, 1, seed=21, chunk=3151)
     img, segs = _render(cfg, scene, cam, 2, seed=21, chunk=3152)
+    assert segs == segs0
+    assert np.array_equal(base, img)
+
+
+def test_fuse8_bit_identical():
+    """Round-5: auto opens fuse 8 for the dense low-spp regime
+    (DENSEFUSE_AB_r05) — pin value-identity at an 8-block grid, incl. a
+    padded variant (9 blocks -> 16 at fuse 8)."""
+    w = rtiow.material_test_scene()
+    scene = w.extract(with_bvh=False)
+    cam = w.camera_state(aspect=512 / 64)
+    cfg = RenderConfig(width=512, height=64, samples_per_pixel=2, bounces=2,
+                       level=3)
+    base, segs0 = _render(cfg, scene, cam, 1, seed=22, chunk=3161)
+    img, segs = _render(cfg, scene, cam, 8, seed=22, chunk=3162)
+    assert segs == segs0
+    assert np.array_equal(base, img)
+    cam = w.camera_state(aspect=576 / 64)
+    cfg = dataclasses.replace(cfg, width=576)
+    base, segs0 = _render(cfg, scene, cam, 1, seed=23, chunk=3163)
+    img, segs = _render(cfg, scene, cam, 8, seed=23, chunk=3164)
     assert segs == segs0
     assert np.array_equal(base, img)
 
