@@ -1331,6 +1331,15 @@ _DEBUG_DOUBLE_RAYGEN = False    # second primary-ray build per phase-A sample
                                 # included via a lane-varying synthetic
                                 # jitter; no extra RNG draws — the hw PRNG is
                                 # stateful, so re-drawing would shift streams)
+_DEBUG_DOUBLE_STEP = False      # FLAT walk only: a second FLAT_WALK_STEPS
+                                # chain of cwalk.step per iteration, re-run
+                                # from the iteration's ORIGINAL walk state
+                                # with origin +1e-30 (identical compares and
+                                # visit order; results folded at 1e-30).
+                                # Prices the candidate-step share of t_iter.
+# _DEBUG_DOUBLE_FETCH / _DEBUG_DOUBLE_HARVEST / _DEBUG_DOUBLE_MASKBUILD also
+# hook body_once_flat (round 5): same CSE-proof constructions as the nested
+# body, so one battery script serves both families.
 # Round-5 phase-A attribution probes (VERDICT r4 item 4: the 45 ms "floor"
 # was an all-ablated aggregate; these price its named terms DIRECTLY):
 _DEBUG_DOUBLE_SLWALK = False    # second primary-shortlist walk per phase-A
@@ -2054,6 +2063,18 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 active = sid_f < n_slots_f
                 for _ in range(max(FLAT_WALK_STEPS, 1)):
                     masks, bq, bi = cwalk.step(o, d, masks, bq, bi)
+                if _DEBUG_DOUBLE_STEP:
+                    # Second step chain from the iteration's ORIGINAL state
+                    # (walk_st) with origin +1e-30: same group visit order,
+                    # same compares, independent dataflow (CSE-proof).
+                    eps3 = Vec3.full((), 1e-30, 1e-30, 1e-30)
+                    m2 = walk_st[:cwalk.n_words]
+                    q2 = walk_st[cwalk.n_words]
+                    i2 = walk_st[cwalk.n_words + 1]
+                    for _ in range(max(FLAT_WALK_STEPS, 1)):
+                        m2, q2, i2 = cwalk.step(o + eps3, d, m2, q2, i2)
+                    segsum = segsum + (jnp.where(q2 >= INF, 0.0, q2)
+                                       + i2.astype(jnp.float32)) * 1e-30
                 fin = active & cwalk.exhausted(masks)
                 inv_a = 1.0 / d.dot(d)
                 t_best = jnp.where(bq >= INF, INF, bq * inv_a)
@@ -2070,7 +2091,28 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 # iterations — the per-iteration probe semantics.
                 segsum = segsum + (1.0 if COUNT_ITERS
                                    else jnp.where(fin, 1.0, 0.0))
+                if _DEBUG_DOUBLE_HARVEST:
+                    # Same construction as the nested body's probe.
+                    ep3 = Vec3.full((), 1e-30, 1e-30, 1e-30)
+                    g2 = linear_to_gamma(rad + ep3)
+                    ex = jnp.zeros_like(segsum)
+                    sid_p = sid_f + 0.25
+                    for h in range(fuse):
+                        m2 = (died & (sid_p >= float(h * spp_s))
+                              & (sid_p < float((h + 1) * spp_s)))
+                        ex = (ex + jnp.where(m2, g2.x, 0.0)
+                              + jnp.where(m2, g2.y, 0.0)
+                              + jnp.where(m2, g2.z, 0.0))
+                    segsum = segsum + ex * 1e-30
                 nxt = fetch(sid_f.astype(jnp.int32) + 1)
+                if _DEBUG_DOUBLE_FETCH:
+                    # Same construction as the nested body's probe.
+                    x2 = fetch(jnp.minimum(sid_f.astype(jnp.int32) + 2,
+                                           jnp.int32(n_slots)))
+                    extra = x2[stored[0]]
+                    for fpl in stored[1:]:
+                        extra = extra + x2[fpl]
+                    segsum = segsum + extra * 1e-30
                 take = died & (nxt[ST_SID] < n_slots_f)
                 o = Vec3.where(take, Vec3(nxt[ST_OX], nxt[ST_OY], nxt[ST_OZ]),
                                o)
@@ -2117,6 +2159,16 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                                         need_new)
                     masks = tuple(jnp.where(need_new, f, m)
                                   for f, m in zip(fresh, masks))
+                if _DEBUG_DOUBLE_MASKBUILD:
+                    # Second per-iteration fresh-mask build, origin +1e-30
+                    # (same construction as the nested probe).
+                    epsb = Vec3.full((), 1e-30, 1e-30, 1e-30)
+                    f2 = cwalk.build(o + epsb, d,
+                                     jnp.full(n, INF, jnp.float32), need_new)
+                    extra = f2[0].astype(jnp.float32)
+                    for m in f2[1:]:
+                        extra = extra + m.astype(jnp.float32)
+                    segsum = segsum + extra * 1e-30
                 return pack_carry(sid_f, b_lane, o, d, rc, rad, fd,
                                   crs, cgs, cbs, dsums, segsum,
                                   masks + (bq, bi))
