@@ -274,6 +274,12 @@ FLAT_REMASK = False   # per-iteration best-q re-mask of WALKING lanes, fused
                       # Measured ~tied with steps-only at the dense optimum
                       # (flat2r 41.74 / flat3r 41.35 vs flat4 41.85,
                       # FLAT_AB_r05) - kept as an A/B knob, not shipped.
+FLAT_STEP_MERGE = False  # merge the FLAT_WALK_STEPS per-iteration candidate
+                         # steps into ONE wide MXU gather per chunk
+                         # (_CandidateWalk.step_multi — bit-identical by the
+                         # lex-min argument). Default OFF pending a paired
+                         # hardware A/B; same streamed bytes, fewer matmul
+                         # issues + no matmul→reduce dependency between steps.
 
 
 def _use_flat_walk(n_spheres_padded: int, use_candidates: bool,
@@ -1094,6 +1100,99 @@ class _CandidateWalk:
                                        masks[i] & (masks[i] - 1), masks[i]))
             lower_zero = lower_zero & (masks[i] == 0)
         return (tuple(new_masks), jnp.concatenate(rows_q, axis=0),
+                jnp.concatenate(rows_i, axis=0))
+
+    def step_multi(self, origin: Vec3, direction: Vec3, masks, bq, bi,
+                   n_steps: int):
+        """``n_steps`` candidate steps for every lane with ONE MXU gather
+        per chunk instead of ``n_steps``: the walk's visit ORDER is a pure
+        function of the masks (mask evolution never reads q — lsb-pop per
+        step), so all n group ids per lane are extracted up front, their
+        one-hots concatenated along the lane axis, and each chunk's n
+        gathers become a single (4·chunk, 3·g_pad)×(3·g_pad, n·T·128)
+        matmul. Bit-identical to ``n_steps`` chained ``step`` calls
+        (pinned in tests/test_flat_walk.py): the carried (q, i) is the
+        LEXICOGRAPHIC MIN over the visit set — the explicit lower-index
+        tie-break makes every compare order-independent, the within-chunk
+        tree-reduce keeps the lower-k sublane on q ties, and fast_disc's
+        NaN q rejects before the compare — so merging steps cannot change
+        the winner. Total acc/one-hot bytes are unchanged; the win, if
+        any, is issue overhead: one weights-load + wide-N matmul per chunk
+        and one mask-word select pass per step without interleaved
+        matmul/reduce dependencies."""
+        grp_table = self.grp_table
+        chunk, n_chunks, gc = self.chunk, self.n_chunks, self.gc
+        n_words = self.n_words
+        a = direction.dot(direction)
+        ox, oy, oz = origin.x, origin.y, origin.z
+        dx, dy, dz = direction.x, direction.y, direction.z
+        q_min = a * T_MIN
+        fast_disc = self.fast_disc
+        g_lanes = []
+        for _ in range(max(n_steps, 1)):
+            word = masks[0]
+            off = jnp.zeros((TILE_SUB, 128), jnp.int32)
+            for i in range(1, n_words):
+                nxt = word == 0
+                word = jnp.where(nxt, masks[i], word)
+                off = jnp.where(nxt, jnp.int32(31 * i), off)
+            lsb = word & (-word)
+            g_lanes.append(_lsb_index(lsb)
+                           + jnp.where(word == 0, 0, off))
+            new_masks = [masks[0] & (masks[0] - 1)]
+            lower_zero = masks[0] == 0
+            for i in range(1, n_words):
+                new_masks.append(jnp.where(lower_zero,
+                                           masks[i] & (masks[i] - 1),
+                                           masks[i]))
+                lower_zero = lower_zero & (masks[i] == 0)
+            masks = tuple(new_masks)
+        onehot = jnp.concatenate(
+            [(self.iota_g3 == g[r:r + 1, :]).astype(jnp.bfloat16)
+             for g in g_lanes for r in range(TILE_SUB)],
+            axis=1)                                # (3·g_pad, n·T·128)
+        rows_q = [bq[r:r + 1, :] for r in range(TILE_SUB)]
+        rows_i = [bi[r:r + 1, :] for r in range(TILE_SUB)]
+        rows_per_chunk = 4 * chunk
+        for c in range(n_chunks):
+            acc = jnp.dot(
+                grp_table[c * rows_per_chunk:(c + 1) * rows_per_chunk, :],
+                onehot, preferred_element_type=jnp.float32)
+            for j in range(max(n_steps, 1)):
+                for r in range(TILE_SUB):
+                    sl = slice((j * TILE_SUB + r) * 128,
+                               (j * TILE_SUB + r + 1) * 128)
+                    cx = acc[0 * chunk:1 * chunk, sl]
+                    cy = acc[1 * chunk:2 * chunk, sl]
+                    cz = acc[2 * chunk:3 * chunk, sl]
+                    r2 = acc[3 * chunk:4 * chunk, sl]
+                    ocx = cx - ox[r:r + 1, :]
+                    ocy = cy - oy[r:r + 1, :]
+                    ocz = cz - oz[r:r + 1, :]
+                    h = (dx[r:r + 1, :] * ocx + dy[r:r + 1, :] * ocy
+                         + dz[r:r + 1, :] * ocz)
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r2
+                    disc = h * h - a[r:r + 1, :] * cc
+                    if fast_disc:
+                        q = h - jnp.sqrt(disc)
+                        ok = q > q_min[r:r + 1, :]
+                    else:
+                        q = h - jnp.sqrt(jnp.maximum(disc, 0.0))
+                        ok = (disc >= 0.0) & (q > q_min[r:r + 1, :])
+                    qv = jnp.where(ok, q, INF)
+                    iv = (g_lanes[j][r:r + 1, :] * gc + (c * chunk)
+                          + self.iota_k)
+                    w = chunk
+                    while w > 1:
+                        w //= 2
+                        take = qv[w:2 * w] < qv[:w]
+                        qv = jnp.where(take, qv[w:2 * w], qv[:w])
+                        iv = jnp.where(take, iv[w:2 * w], iv[:w])
+                    better = (qv < rows_q[r]) | ((qv == rows_q[r])
+                                                 & (iv < rows_i[r]))
+                    rows_q[r] = jnp.where(better, qv, rows_q[r])
+                    rows_i[r] = jnp.where(better, iv, rows_i[r])
+        return (masks, jnp.concatenate(rows_q, axis=0),
                 jnp.concatenate(rows_i, axis=0))
 
 
@@ -2061,8 +2160,12 @@ def _render_kernel(cam_ref, seed_ref, sph_ref, gaabb_ref, tri_ref, attr_ref,
                 bq = walk_st[cwalk.n_words]
                 bi = walk_st[cwalk.n_words + 1]
                 active = sid_f < n_slots_f
-                for _ in range(max(FLAT_WALK_STEPS, 1)):
-                    masks, bq, bi = cwalk.step(o, d, masks, bq, bi)
+                if FLAT_STEP_MERGE and max(FLAT_WALK_STEPS, 1) > 1:
+                    masks, bq, bi = cwalk.step_multi(
+                        o, d, masks, bq, bi, FLAT_WALK_STEPS)
+                else:
+                    for _ in range(max(FLAT_WALK_STEPS, 1)):
+                        masks, bq, bi = cwalk.step(o, d, masks, bq, bi)
                 if _DEBUG_DOUBLE_STEP:
                     # Second step chain from the iteration's ORIGINAL state
                     # (walk_st) with origin +1e-30: same group visit order,

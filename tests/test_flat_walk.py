@@ -27,7 +27,7 @@ from bevyray_tpu.kernels.pallas.primary import shortlists_for
 
 def _flat_vs_nested(monkeypatch, cfg_kwargs, cand_size, seed=11,
                     nested_remask=(), flat_steps=1, grid=8,
-                    flat_remask=False):
+                    flat_remask=False, flat_merge=False):
     """Render the same frame with PHASEB_FLAT True/False via direct
     render_tiles jits (module knobs bake into traces; fresh jit per arm)."""
     world = rtiow.final_scene(seed=42, grid=grid)
@@ -45,6 +45,8 @@ def _flat_vs_nested(monkeypatch, cfg_kwargs, cand_size, seed=11,
         monkeypatch.setattr(megakernel, "PHASEB_FLAT", flat)
         monkeypatch.setattr(megakernel, "FLAT_WALK_STEPS", flat_steps)
         monkeypatch.setattr(megakernel, "FLAT_REMASK", flat and flat_remask)
+        monkeypatch.setattr(megakernel, "FLAT_STEP_MERGE",
+                            flat and flat_merge)
         monkeypatch.setattr(megakernel, "REMASK_SCHEDULE",
                             () if flat else nested_remask)
         f = jax.jit(functools.partial(render_tiles, config=cfg,
@@ -91,6 +93,30 @@ def test_flat_walk_multi_step(monkeypatch):
     cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=3, level=3)
     (img_n, segs_n), (img_f, segs_f) = _flat_vs_nested(
         monkeypatch, cfg, cand_size=8, flat_steps=3)
+    assert segs_n == segs_f
+    np.testing.assert_array_equal(img_n, img_f)
+
+
+def test_flat_step_merge_bit_identical(monkeypatch):
+    # FLAT_STEP_MERGE folds the iteration's FLAT_WALK_STEPS one-hot gathers
+    # into one wide matmul per chunk (_CandidateWalk.step_multi). The carried
+    # (q, i) is the lexicographic min over the visit set, so the merge is
+    # order-independent — images and segment totals must match the NESTED
+    # walk bit-for-bit (and hence, via test_flat_walk_multi_step, the
+    # unmerged flat walk too).
+    cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=3, level=3)
+    (img_n, segs_n), (img_f, segs_f) = _flat_vs_nested(
+        monkeypatch, cfg, cand_size=8, flat_steps=3, flat_merge=True)
+    assert segs_n == segs_f
+    np.testing.assert_array_equal(img_n, img_f)
+
+
+def test_flat_step_merge_multiword(monkeypatch):
+    # Same contract at a candidate size that forces >1 mask words and >1
+    # gather chunks, with the shipped steps=4.
+    cfg = dict(width=96, height=64, samples_per_pixel=2, bounces=3, level=3)
+    (img_n, segs_n), (img_f, segs_f) = _flat_vs_nested(
+        monkeypatch, cfg, cand_size=16, flat_steps=4, flat_merge=True)
     assert segs_n == segs_f
     np.testing.assert_array_equal(img_n, img_f)
 
